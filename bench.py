@@ -1,0 +1,99 @@
+"""Benchmark harness: forward rays/s on the flagship ray-march renderer.
+
+Protocol mirrors the reference's fps benchmark (5 warmup + timed window,
+`apps/main_batch.cpp:278-289`); the metric is rays/s =
+width*height*spp*frames/time on one chip, per BASELINE.md.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` is measured against the frozen first-round number in
+BASELINE_SELF.json (the reference publishes no numbers, BASELINE.md).
+"""
+
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_scene(n: int = 256):
+    from ovr_tpu.core.scene import Camera, simple_scene
+
+    # Synthetic multi-frequency volume (no data files ship with the repo).
+    z, y, x = np.meshgrid(*([np.linspace(0, 1, n, dtype=np.float32)] * 3),
+                          indexing="ij")
+    g = 0.5 + 0.35 * np.sin(12 * x) * np.cos(10 * y) * np.sin(8 * z)
+    g += 0.15 * np.exp(-((x - 0.5) ** 2 + (y - 0.5) ** 2 + (z - 0.5) ** 2) * 40)
+    scene = simple_scene(g.astype(np.float32))
+    cam = Camera.create(from_=(0.5, 0.5, -1.6), at=(0.5, 0.5, 0.5), fovy=45.0)
+    return dataclasses.replace(scene, camera=cam)
+
+
+def main() -> None:
+    import jax
+
+    from ovr_tpu import api
+
+    grid_n = int(os.environ.get("BENCH_GRID", 256))
+    width = int(os.environ.get("BENCH_WIDTH", 1920))
+    height = int(os.environ.get("BENCH_HEIGHT", 1080))
+    rate = float(os.environ.get("BENCH_RATE", grid_n))
+    frames = int(os.environ.get("BENCH_FRAMES", 25))
+    warmup = int(os.environ.get("BENCH_WARMUP", 5))
+    shading = os.environ.get("BENCH_SHADING", "diffuse")
+
+    scene = build_scene(grid_n)
+    scene = jax.device_put(scene)
+    cfg = api.RenderConfig(
+        width=width, height=height, spp=1, sampling_rate=rate,
+        shading=shading, fast_math=True, use_macrocells=True,
+    ).resolved(scene)
+
+    from ovr_tpu.render import accel
+    mc = accel.build_macrocells(scene.volume.grid, scene.tfn.alpha,
+                                scene.tfn.value_range)
+    mc = jax.device_put(mc)
+
+    def frame(i):
+        return api.render(scene, cfg, frame_index=i, macrocells=mc)
+
+    for i in range(warmup):
+        jax.block_until_ready(frame(i).rgba)
+    t0 = time.perf_counter()
+    for i in range(frames):
+        jax.block_until_ready(frame(i).rgba)
+    dt = time.perf_counter() - t0
+
+    rays = width * height * cfg.spp * frames
+    rays_per_s = rays / dt
+
+    # vs_baseline compares against the frozen first measurement *of this
+    # exact config on this platform* (the reference publishes no numbers,
+    # BASELINE.md); the first run of a config writes its own baseline.
+    platform = jax.devices()[0].platform
+    cfg_key = f"{platform}-{grid_n}-{width}x{height}-{rate}-{shading}"
+    baseline_path = os.path.join(os.path.dirname(__file__),
+                                 "BASELINE_SELF.json")
+    book = {}
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            book = json.load(f)
+    if cfg_key in book:
+        base = book[cfg_key]
+    else:
+        base = book[cfg_key] = rays_per_s
+        with open(baseline_path, "w") as f:
+            json.dump(book, f, indent=2, sort_keys=True)
+
+    print(json.dumps({
+        "metric": f"forward rays/s ({grid_n}^3 grid, {width}x{height}, "
+                  f"{shading} shading, macrocell skipping)",
+        "value": rays_per_s,
+        "unit": "rays/s",
+        "vs_baseline": rays_per_s / base,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,306 @@
+"""Public rendering API.
+
+The reference exposes an abstract `MainRenderer` with a mailbox-setter +
+swap/commit/render/mapframe lifecycle (`ovr/renderer.h:82-288`) because its
+GUI and CUDA device run on different threads. In JAX the render is a pure
+function, so the core API is simply:
+
+    frame = render(scene, cfg, camera=camera, frame_index=i, key=key)
+
+`Renderer` wraps that in a stateful facade with the reference's setter
+surface (set_camera / set_transfer_function / set_sample_per_pixel /
+set_volume_sampling_rate / set_path_tracing / set_frame_accumulation / ...)
+for drop-in-style interactive and batch apps; `commit()` re-jits only when a
+static setting changed, `render()` runs a frame (handling accumulation
+state), `mapframe()` returns host numpy arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ovr_tpu.core.scene import Camera, Scene
+from ovr_tpu.core.sampling import safe_normalize
+from ovr_tpu.render import accel
+from ovr_tpu.render import integrator as ig
+from ovr_tpu.render.camera import camera_basis, generate_rays, pixel_screen_coords
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render settings (hashable; a jit static argument)."""
+
+    width: int = 512
+    height: int = 512
+    spp: int = 1
+    sampling_rate: float = 64.0  # samples per world unit; step = 1/rate
+    base_rate: float = 1.0  # opacity-correction base (volume.h:128, default 1)
+    shading: str = ig.SHADING_SHADOW
+    shadow_scale: float = 10.0
+    max_steps: Optional[int] = None  # None: derived from the scene box
+    shadow_max_steps: Optional[int] = None
+    path_tracing: bool = False
+    max_scatters: int = 24  # params.h:86
+    use_macrocells: bool = False  # empty-space skip / majorant DDA
+    jitter_rays: bool = False  # OVR_OPTIX7_JITTER_RAYS
+    fast_math: bool = False  # while_loop early exit (forward-only)
+    dtype: Any = jnp.float32
+
+    def resolved(self, scene: Scene) -> "RenderConfig":
+        """Fill derived step counts from the scene's world box (host-side)."""
+        lo = np.asarray(scene.volume.world_lo)
+        hi = np.asarray(scene.volume.world_hi)
+        diag = float(np.linalg.norm(hi - lo))
+        updates = {}
+        if self.max_steps is None:
+            updates["max_steps"] = int(np.ceil(diag * self.sampling_rate)) + 2
+        if self.shadow_max_steps is None:
+            n = int(np.ceil(diag * self.sampling_rate / self.shadow_scale)) + 2
+            updates["shadow_max_steps"] = n
+        return dataclasses.replace(self, **updates) if updates else self
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Frame:
+    """Rendered frame: rgba (H, W, 4) straight-alpha, grad (H, W, 3)
+    camera-space shaded-normal channel (the reference's second framebuffer,
+    `ovr/renderer.h:89-97`)."""
+
+    rgba: jnp.ndarray
+    grad: jnp.ndarray
+
+
+def _shade_ctx(scene: Scene, camera: Camera, cfg: RenderConfig) -> ig.ShadeContext:
+    _, direction, horizontal, vertical = camera_basis(camera, cfg.width, cfg.height)
+    x = safe_normalize(horizontal)
+    y = safe_normalize(vertical)
+    z = -direction
+    wtc = jnp.stack([x, y, z])
+    return ig.ShadeContext(
+        light_dir=safe_normalize(scene.light.direction),
+        wtc=wtc,
+        world_lo=scene.volume.world_lo,
+        world_hi=scene.volume.world_hi,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render(scene: Scene, cfg: RenderConfig, camera: Optional[Camera] = None,
+           frame_index: jnp.ndarray = 0, key: Optional[jax.Array] = None,
+           macrocells: Optional[accel.MacrocellGrid] = None) -> Frame:
+    """Render one frame. Pure, jitted, differentiable (when cfg.fast_math is
+    False and cfg.path_tracing is False uses the scan integrator).
+
+    `cfg.max_steps` must be resolved (`cfg.resolved(scene)`).
+    """
+    assert cfg.max_steps is not None, "call cfg.resolved(scene) first"
+    if camera is None:
+        camera = scene.camera
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    key = jax.random.fold_in(key, frame_index)
+
+    if cfg.path_tracing:
+        from ovr_tpu.render import pathtracer
+        return pathtracer.render_frame(scene, cfg, camera, key, macrocells)
+
+    screen = pixel_screen_coords(cfg.width, cfg.height, cfg.dtype)
+    screen = screen.reshape(-1, 2)
+    n = screen.shape[0]
+
+    mcfg = ig.MarchConfig(
+        max_steps=cfg.max_steps,
+        shading=cfg.shading,
+        shadow_scale=cfg.shadow_scale,
+        shadow_max_steps=cfg.shadow_max_steps or 1,
+    )
+    ctx = _shade_ctx(scene, camera, cfg)
+    leaves = (
+        scene.volume.grid,
+        scene.tfn.color,
+        scene.tfn.alpha,
+        scene.tfn.value_range,
+        cfg.base_rate * jnp.ones((), cfg.dtype),
+    )
+    step = 1.0 / scene.volume_sampling_rate
+    march_fn = ig.march_while if cfg.fast_math else ig.march
+
+    def one_sample(s, acc):
+        skey = jax.random.fold_in(key, s)
+        if cfg.spp > 1:
+            jit2 = jax.random.uniform(skey, (n, 2), cfg.dtype) - 0.5
+            sc = screen + jit2 / jnp.array(
+                [cfg.width, cfg.height], cfg.dtype)
+        else:
+            sc = screen
+        org, direction = generate_rays(camera, sc, cfg.width, cfg.height)
+        tj = (jax.random.uniform(jax.random.fold_in(skey, 7), (n,), cfg.dtype)
+              if cfg.jitter_rays else None)
+        color, grad, alpha = march_fn(
+            org, direction, leaves, ctx, mcfg, step,
+            occupancy=macrocells if cfg.use_macrocells else None, jitter=tj)
+        color, grad, alpha = ig.finalize(color, grad, alpha)
+        return (acc[0] + color, acc[1] + grad, acc[2] + alpha)
+
+    zero = (jnp.zeros((n, 3), cfg.dtype), jnp.zeros((n, 3), cfg.dtype),
+            jnp.zeros((n,), cfg.dtype))
+    if cfg.spp == 1:
+        acc = one_sample(0, zero)
+    else:
+        acc = jax.lax.fori_loop(0, cfg.spp, one_sample, zero)
+    rspp = 1.0 / cfg.spp
+    color, grad, alpha = (a * rspp for a in acc)
+
+    rgba = jnp.concatenate([color, alpha[..., None]], axis=-1)
+    return Frame(
+        rgba=rgba.reshape(cfg.height, cfg.width, 4),
+        grad=grad.reshape(cfg.height, cfg.width, 3),
+    )
+
+
+def accumulate(frame: Frame, accum: Optional[Frame], frame_index) -> tuple[Frame, Frame]:
+    """Progressive accumulation (shaders_raymarching.cu:389-400).
+
+    `frame_index` is 1-based; returns (display_frame, new_accum).
+    """
+    if accum is None or frame_index <= 1:
+        return frame, frame
+    new_accum = Frame(rgba=accum.rgba + frame.rgba, grad=accum.grad + frame.grad)
+    disp = Frame(rgba=new_accum.rgba / frame_index, grad=new_accum.grad / frame_index)
+    return disp, new_accum
+
+
+class Renderer:
+    """Stateful facade with the reference's `MainRenderer` surface
+    (`ovr/renderer.h:82-288`): setters queue parameter changes, `commit()`
+    applies them, `render()` draws a frame, `mapframe()` returns numpy."""
+
+    def __init__(self, scene: Scene, cfg: RenderConfig = RenderConfig()):
+        self.scene = scene
+        self._cfg = cfg
+        self._camera = scene.camera
+        self._frame_index = 0
+        self._accum: Optional[Frame] = None
+        self._frame: Optional[Frame] = None
+        self._macrocells: Optional[accel.MacrocellGrid] = None
+        self._accumulating = False
+        self._dirty = True
+        self.render_time = 0.0
+        self.variance = float("inf")
+
+    # -- thread-safe-style setters (renderer.h:134-248) --
+    def set_fbsize(self, size) -> None:
+        w, h = int(size[0]), int(size[1])
+        self._cfg = dataclasses.replace(self._cfg, width=w, height=h)
+        self._reset()
+
+    def set_camera(self, from_=None, at=None, up=None, camera: Camera = None) -> None:
+        if camera is None:
+            c = self._camera
+            camera = Camera.create(
+                from_ if from_ is not None else c.from_,
+                at if at is not None else c.at,
+                up if up is not None else c.up,
+                fovy=c.fovy, height=c.height, kind=c.kind)
+        self._camera = camera
+        self._reset(rejit=False)
+
+    def set_transfer_function(self, color, alpha, value_range) -> None:
+        from ovr_tpu.core.scene import TransferFunction
+        color = np.asarray(color, np.float32)
+        if color.ndim == 1:
+            color = color.reshape(-1, 3)
+        alpha = np.asarray(alpha, np.float32)
+        if alpha.ndim == 2:  # (N, 2) position/value pairs: take values
+            alpha = alpha[:, 1]
+        tfn = TransferFunction.create(color, alpha, value_range)
+        self.scene = dataclasses.replace(self.scene, tfn=tfn)
+        self._macrocells = None
+        self._reset(rejit=False)
+
+    def set_sample_per_pixel(self, spp: int) -> None:
+        self._cfg = dataclasses.replace(self._cfg, spp=int(spp))
+        self._reset()
+
+    def set_volume_sampling_rate(self, rate: float) -> None:
+        self.scene = dataclasses.replace(
+            self.scene, volume_sampling_rate=jnp.float32(rate))
+        self._cfg = dataclasses.replace(
+            self._cfg, sampling_rate=float(rate), max_steps=None,
+            shadow_max_steps=None)
+        self._reset()
+
+    def set_volume_density_scale(self, s: float) -> None:
+        self.scene = dataclasses.replace(
+            self.scene, density_scale=jnp.float32(s))
+        self._reset(rejit=False)
+
+    def set_path_tracing(self, enabled: bool) -> None:
+        self._cfg = dataclasses.replace(self._cfg, path_tracing=bool(enabled))
+        self._reset()
+
+    def set_frame_accumulation(self, enabled: bool) -> None:
+        self._accumulating = bool(enabled)
+        self._reset(rejit=False)
+
+    def set_shading(self, mode: str) -> None:
+        self._cfg = dataclasses.replace(self._cfg, shading=mode)
+        self._reset()
+
+    def set_sparse_sampling(self, enabled: bool, focus_center=(0.5, 0.5),
+                            focus_scale=0.2, base_noise=0.1) -> None:
+        self._sparse = (bool(enabled), tuple(focus_center), float(focus_scale),
+                        float(base_noise))
+        self._reset(rejit=False)
+
+    # -- lifecycle --
+    def _reset(self, rejit: bool = True) -> None:
+        self._frame_index = 0
+        self._accum = None
+        if rejit:
+            self._dirty = True
+
+    def commit(self) -> None:
+        if self._dirty:
+            self._cfg = dataclasses.replace(
+                self._cfg, max_steps=None, shadow_max_steps=None
+            ).resolved(self.scene)
+            self._dirty = False
+        if (self._cfg.use_macrocells or self._cfg.path_tracing) and \
+                self._macrocells is None:
+            self._macrocells = accel.build_macrocells(
+                self.scene.volume.grid, self.scene.tfn.alpha,
+                self.scene.tfn.value_range)
+
+    def render(self) -> None:
+        import time
+        self.commit()
+        self._frame_index += 1
+        t0 = time.perf_counter()
+        frame = render(
+            self.scene, self._cfg, camera=self._camera,
+            frame_index=jnp.int32(self._frame_index),
+            macrocells=self._macrocells)
+        if self._accumulating:
+            frame, self._accum = accumulate(frame, self._accum,
+                                            self._frame_index)
+        jax.block_until_ready(frame.rgba)
+        self.render_time += time.perf_counter() - t0
+        self._frame = frame
+
+    def swap(self) -> None:
+        """Double-buffering is a no-op in a functional renderer."""
+
+    def mapframe(self) -> dict[str, np.ndarray]:
+        assert self._frame is not None, "render() first"
+        return {
+            "rgba": np.asarray(self._frame.rgba),
+            "grad": np.asarray(self._frame.grad),
+        }

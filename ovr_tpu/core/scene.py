@@ -1,0 +1,204 @@
+"""Scene model as JAX PyTrees.
+
+Replaces the reference's POD scene graph (`ovr/scene.h:201-371`) with
+registered dataclasses whose array leaves trace/jit/differentiate. Everything
+a gradient can flow to — the density grid, the transfer-function tables, the
+camera vectors, light parameters — is a dynamic leaf; structural choices
+(camera projection kind, volume dims) are static metadata derived from shapes
+or marked static.
+
+World convention: a structured volume occupies the axis-aligned box
+[world_lo, world_hi] (the reference's OptiX backend renders the unit cube
+[0,1]^3 per instance, `ovr/devices/optix7/shaders_common.h:379-392`); sampling
+coordinates inside the box are normalized to [0,1]^3 like a CUDA 3D texture
+with clamp addressing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pytree_dataclass(cls=None, *, static: tuple[str, ...] = ()):
+    """Register a dataclass as a pytree, with `static` fields as metadata."""
+    if cls is None:
+        return partial(_pytree_dataclass, static=static)
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    names = [f.name for f in dataclasses.fields(cls)]
+    data_fields = [n for n in names if n not in static]
+    return jax.tree_util.register_dataclass(
+        cls, data_fields=data_fields, meta_fields=list(static)
+    )
+
+
+def _as_f32(x) -> jnp.ndarray:
+    return jnp.asarray(x, dtype=jnp.float32)
+
+
+PERSPECTIVE = "perspective"
+ORTHOGRAPHIC = "orthographic"
+
+
+@_pytree_dataclass(static=("kind",))
+class Camera:
+    """Look-at camera (reference: `ovr/scene.h:201-231`).
+
+    `from_` / `at` / `up` are world-space vectors; `fovy` is the vertical field
+    of view in degrees for perspective, and for orthographic cameras `height`
+    is the world-space height of the image plane.
+    """
+
+    from_: jnp.ndarray  # (3,)
+    at: jnp.ndarray  # (3,)
+    up: jnp.ndarray  # (3,)
+    fovy: jnp.ndarray  # () degrees
+    height: jnp.ndarray  # () world units, orthographic only
+    kind: str = PERSPECTIVE
+
+    @staticmethod
+    def create(from_, at, up=(0.0, 1.0, 0.0), fovy=60.0, height=1.0,
+               kind: str = PERSPECTIVE) -> "Camera":
+        return Camera(
+            from_=_as_f32(from_), at=_as_f32(at), up=_as_f32(up),
+            fovy=_as_f32(fovy), height=_as_f32(height), kind=kind,
+        )
+
+
+@_pytree_dataclass
+class TransferFunction:
+    """1D transfer function: color table + opacity table + raw value range.
+
+    `color` is (Nc, 3) RGB nodes, `alpha` is (Na,) opacity nodes; both are
+    sampled piecewise-linearly over the normalized data range. `value_range`
+    is in *normalized* sample units (the units of the volume after
+    normalized-integer conversion) — the reference stores the same on
+    `DeviceStructuredRegularVolume.{volume.lower, volume.upper}`
+    (`ovr/devices/optix7/volume.cpp:131-154`).
+    """
+
+    color: jnp.ndarray  # (Nc, 3)
+    alpha: jnp.ndarray  # (Na,)
+    value_range: jnp.ndarray  # (2,)
+
+    @staticmethod
+    def create(color, alpha, value_range=(0.0, 1.0)) -> "TransferFunction":
+        color = _as_f32(color)
+        if color.ndim == 2 and color.shape[1] == 4:
+            color = color[:, :3]
+        return TransferFunction(
+            color=color, alpha=_as_f32(alpha), value_range=_as_f32(value_range)
+        )
+
+    @property
+    def resolution(self) -> int:
+        return self.alpha.shape[0]
+
+
+@_pytree_dataclass
+class StructuredVolume:
+    """A structured-regular scalar grid in a world-space box.
+
+    `grid` has shape (Z, Y, X), float32, already normalized per
+    `core.types.normalize_array`. Sampling uses CUDA-texture conventions:
+    normalized coordinates p in [0,1]^3 address texel centers at
+    (i + 0.5) / dims with clamp addressing and trilinear filtering.
+    """
+
+    grid: jnp.ndarray  # (Z, Y, X) float32
+    world_lo: jnp.ndarray  # (3,)
+    world_hi: jnp.ndarray  # (3,)
+    data_range: jnp.ndarray  # (2,) actual min/max of grid (normalized units)
+
+    @staticmethod
+    def create(grid, world_lo=(0.0, 0.0, 0.0), world_hi=(1.0, 1.0, 1.0),
+               data_range=None) -> "StructuredVolume":
+        grid = _as_f32(grid)
+        if data_range is None:
+            gnp = np.asarray(grid)
+            data_range = (float(gnp.min()), float(gnp.max()))
+        return StructuredVolume(
+            grid=grid, world_lo=_as_f32(world_lo), world_hi=_as_f32(world_hi),
+            data_range=_as_f32(data_range),
+        )
+
+    @property
+    def dims(self) -> tuple[int, int, int]:
+        """(X, Y, Z) dims, reference ordering (`ovr/scene.h:239-249`)."""
+        z, y, x = self.grid.shape
+        return (x, y, z)
+
+
+@_pytree_dataclass
+class Light:
+    """Directional light + global ambient intensity.
+
+    The reference's ray-marcher uses a single directional light with implicit
+    intensity 2 (`shaders_raymarching.cu:137-138`) and the path tracer an
+    ambient term (`params.h:79-80`).
+    """
+
+    direction: jnp.ndarray  # (3,) points *toward* the light
+    color: jnp.ndarray  # (3,)
+    ambient: jnp.ndarray  # ()
+
+    @staticmethod
+    def create(direction=(-907.108, 2205.875, -400.0267), color=(1.0, 1.0, 1.0),
+               ambient=1.0) -> "Light":
+        return Light(
+            direction=_as_f32(direction), color=_as_f32(color),
+            ambient=_as_f32(ambient),
+        )
+
+
+@_pytree_dataclass
+class Scene:
+    """A renderable scene: one structured (or neural) volume, its transfer
+    function, lights and a default camera (reference: `ovr/scene.h:352-371`).
+
+    `volume_sampling_rate` scales march density: step = 1 / rate in world
+    units (`volume.cpp:172-179`).
+    """
+
+    volume: StructuredVolume
+    tfn: TransferFunction
+    light: Light
+    camera: Camera
+    volume_sampling_rate: jnp.ndarray  # ()
+    density_scale: jnp.ndarray  # () path-tracer extinction scale
+
+    @staticmethod
+    def create(volume, tfn, light=None, camera=None, volume_sampling_rate=1.0,
+               density_scale=1.0) -> "Scene":
+        if light is None:
+            light = Light.create()
+        if camera is None:
+            camera = Camera.create(from_=(0.0, 0.0, -2.0), at=(0.5, 0.5, 0.5))
+        return Scene(
+            volume=volume, tfn=tfn, light=light, camera=camera,
+            volume_sampling_rate=_as_f32(volume_sampling_rate),
+            density_scale=_as_f32(density_scale),
+        )
+
+
+def simple_scene(grid, color=None, alpha=None, value_range=None, **kw) -> Scene:
+    """Convenience constructor used heavily by tests and examples."""
+    volume = StructuredVolume.create(grid)
+    if color is None:
+        color = np.stack(
+            [np.linspace(0, 1, 16), 0.5 * np.ones(16), np.linspace(1, 0, 16)], -1
+        )
+    if alpha is None:
+        alpha = np.linspace(0.0, 1.0, 16)
+    if value_range is None:
+        value_range = np.asarray(volume.data_range)
+    tfn = TransferFunction.create(color, alpha, value_range)
+    return Scene.create(volume, tfn, **kw)
+
+
+Pytree = Any

@@ -1,0 +1,69 @@
+"""Raw-binary structured-volume loader.
+
+Equivalent of `CreateArray3DScalarFromFile` (`ovr/scene.cpp:181-245`): typed
+raw file with dims (x, y, z), optional byte offset, optional big-endian
+byte order. Returns a float32 (Z, Y, X) array normalized per
+`core.types.normalize_array` plus the raw (normalized-unit) value range.
+
+Uses the native C++ loader extension (`ovr_tpu.native`) when built — mmap +
+parallel endian-swap/convert — and falls back to numpy.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from ovr_tpu.core.types import ValueType, normalize_array
+
+
+def load_raw_volume(
+    path: str,
+    dims: tuple[int, int, int],
+    vtype: ValueType | str,
+    offset: int = 0,
+    big_endian: bool = False,
+) -> tuple[np.ndarray, tuple[float, float]]:
+    """Load a raw volume file.
+
+    `dims` is (X, Y, Z) like the reference; the returned array has shape
+    (Z, Y, X) in C order (x fastest, matching the file layout).
+    """
+    if isinstance(vtype, str):
+        vtype = ValueType(vtype)
+    x, y, z = (int(d) for d in dims)
+    count = x * y * z
+    nbytes = count * vtype.size
+    fsize = os.path.getsize(path)
+    if fsize < offset + nbytes:
+        raise ValueError(
+            f"File size {fsize} < offset {offset} + data size {nbytes}: {path}"
+        )
+
+    data = _load_native(path, count, vtype, offset, big_endian)
+    if data is None:
+        dt = vtype.dtype
+        if big_endian and vtype.size > 1:
+            dt = dt.newbyteorder(">")
+        data = np.fromfile(path, dtype=dt, count=count, offset=offset)
+        if big_endian and vtype.size > 1:
+            data = data.astype(vtype.dtype)
+        data = normalize_array(data, vtype)
+
+    grid = data.reshape(z, y, x)
+    return grid, (float(grid.min()), float(grid.max()))
+
+
+def _load_native(path, count, vtype, offset, big_endian) -> Optional[np.ndarray]:
+    """Native fast path; returns None when the extension isn't built."""
+    try:
+        from ovr_tpu.native import loader as _native
+    except ImportError:
+        return None
+    try:
+        return _native.load_raw(path, count, vtype.dtype.char, offset,
+                                big_endian)
+    except Exception:
+        return None
