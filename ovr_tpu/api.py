@@ -77,6 +77,12 @@ class Frame:
     grad: jnp.ndarray
 
 
+def _vol_repr(volume):
+    """Dense volumes render from their grid; neural-field volumes are their
+    own sampleable representation (neural.field.sample_any_volume)."""
+    return volume.grid if hasattr(volume, "grid") else volume
+
+
 def _shade_ctx(scene: Scene, camera: Camera, cfg: RenderConfig) -> ig.ShadeContext:
     _, direction, horizontal, vertical = camera_basis(camera, cfg.width, cfg.height)
     x = safe_normalize(horizontal)
@@ -123,7 +129,7 @@ def render(scene: Scene, cfg: RenderConfig, camera: Optional[Camera] = None,
     )
     ctx = _shade_ctx(scene, camera, cfg)
     leaves = (
-        scene.volume.grid,
+        _vol_repr(scene.volume),
         scene.tfn.color,
         scene.tfn.alpha,
         scene.tfn.value_range,
@@ -190,6 +196,8 @@ class Renderer:
         self._accum: Optional[Frame] = None
         self._frame: Optional[Frame] = None
         self._macrocells: Optional[accel.MacrocellGrid] = None
+        self._sparse = False
+        self._focus = None
         self._accumulating = False
         self._dirty = True
         self.render_time = 0.0
@@ -254,10 +262,13 @@ class Renderer:
         self._cfg = dataclasses.replace(self._cfg, shading=mode)
         self._reset()
 
-    def set_sparse_sampling(self, enabled: bool, focus_center=(0.5, 0.5),
-                            focus_scale=0.2, base_noise=0.1) -> None:
-        self._sparse = (bool(enabled), tuple(focus_center), float(focus_scale),
-                        float(base_noise))
+    def set_sparse_sampling(self, enabled: bool) -> None:
+        self._sparse = bool(enabled)
+        self._reset(rejit=False)
+
+    def set_focus(self, center, scale, base_noise) -> None:
+        from ovr_tpu.render.sparse import FocusParams
+        self._focus = FocusParams.create(center, scale, base_noise)
         self._reset(rejit=False)
 
     # -- lifecycle --
@@ -275,19 +286,33 @@ class Renderer:
             self._dirty = False
         if (self._cfg.use_macrocells or self._cfg.path_tracing) and \
                 self._macrocells is None:
+            vol = self.scene.volume
+            if hasattr(vol, "grid"):
+                grid = vol.grid
+            else:  # neural field: bake a proxy lattice (the vnr macrocell bake)
+                from ovr_tpu.neural.train import bake_grid
+                r = min(vol.grid_cfg.max_resolution, 256)
+                grid = bake_grid(vol, (r, r, r))
             self._macrocells = accel.build_macrocells(
-                self.scene.volume.grid, self.scene.tfn.alpha,
-                self.scene.tfn.value_range)
+                grid, self.scene.tfn.alpha, self.scene.tfn.value_range)
 
     def render(self) -> None:
         import time
         self.commit()
         self._frame_index += 1
         t0 = time.perf_counter()
-        frame = render(
-            self.scene, self._cfg, camera=self._camera,
-            frame_index=jnp.int32(self._frame_index),
-            macrocells=self._macrocells)
+        if self._sparse and not self._cfg.path_tracing:
+            from ovr_tpu.render.sparse import render_sparse
+            frame, _ = render_sparse(
+                self.scene, self._cfg, camera=self._camera,
+                focus=self._focus, frame_index=self._frame_index,
+                key=jax.random.PRNGKey(self._frame_index),
+                prev_frame=self._frame, macrocells=self._macrocells)
+        else:
+            frame = render(
+                self.scene, self._cfg, camera=self._camera,
+                frame_index=jnp.int32(self._frame_index),
+                macrocells=self._macrocells)
         if self._accumulating:
             frame, self._accum = accumulate(frame, self._accum,
                                             self._frame_index)

@@ -136,27 +136,34 @@ def opacity_correction(alpha: jnp.ndarray, base: jnp.ndarray,
                      corrected)
 
 
-def volume_gradient(grid: jnp.ndarray, p: jnp.ndarray,
-                    center_value: jnp.ndarray) -> jnp.ndarray:
-    """Forward-difference gradient in normalized object space.
+def gradient_of(sample_fn, p: jnp.ndarray, center_value: jnp.ndarray,
+                rdim: jnp.ndarray) -> jnp.ndarray:
+    """Forward-difference gradient of any scalar field in [0,1]^3.
 
-    Step is one voxel (1/dim per axis); steps that would leave the unit cube
-    flip sign. Reference: `compute_volume_gradient_object_space`
+    Step `rdim` per axis; steps that would leave the unit cube flip sign.
+    Reference: `compute_volume_gradient_object_space`
     (`shaders_common.h:195-215`). Returns the *unnormalized* gradient
     (df/dp, per-axis divided by the step actually taken).
     """
-    X, Y, Z = _grid_dims_xyz(grid)
-    rdim = jnp.array([1.0 / X, 1.0 / Y, 1.0 / Z], dtype=p.dtype)
     stp = jnp.where(p + rdim > 1.0, -rdim, rdim)
 
     def axis_sample(axis):
         offset = jnp.zeros_like(p).at[..., axis].set(stp[..., axis])
-        return sample_volume(grid, p + offset)
+        return sample_fn(p + offset)
 
     gx = (axis_sample(0) - center_value) / stp[..., 0]
     gy = (axis_sample(1) - center_value) / stp[..., 1]
     gz = (axis_sample(2) - center_value) / stp[..., 2]
     return jnp.stack([gx, gy, gz], axis=-1)
+
+
+def volume_gradient(grid: jnp.ndarray, p: jnp.ndarray,
+                    center_value: jnp.ndarray) -> jnp.ndarray:
+    """`gradient_of` for a dense grid with a one-voxel step per axis."""
+    X, Y, Z = _grid_dims_xyz(grid)
+    rdim = jnp.array([1.0 / X, 1.0 / Y, 1.0 / Z], dtype=p.dtype)
+    return gradient_of(lambda q: sample_volume(grid, q), p, center_value,
+                       rdim)
 
 
 def safe_normalize(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:

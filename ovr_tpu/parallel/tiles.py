@@ -36,7 +36,7 @@ def _render_rows(scene: Scene, camera: Camera, cfg: api.RenderConfig,
     org, direction = generate_rays(camera, sc, cfg.width, cfg.height)
     ctx = api._shade_ctx(scene, camera, cfg)
     leaves = (
-        scene.volume.grid, scene.tfn.color, scene.tfn.alpha,
+        api._vol_repr(scene.volume), scene.tfn.color, scene.tfn.alpha,
         scene.tfn.value_range, cfg.base_rate * jnp.ones((), cfg.dtype),
     )
     mcfg = ig.MarchConfig(

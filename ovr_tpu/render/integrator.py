@@ -43,12 +43,22 @@ import jax.numpy as jnp
 
 from ovr_tpu.core.sampling import (
     classify,
+    gradient_of,
     intersect_box,
     opacity_correction,
-    sample_volume,
     safe_normalize,
-    volume_gradient,
 )
+from ovr_tpu.neural.field import sample_any_volume
+
+
+def _vol_rdim(vol, dtype):
+    """Gradient step: one voxel for dense grids, one finest-level cell for
+    neural fields."""
+    if hasattr(vol, "grid_cfg"):
+        r = float(vol.grid_cfg.max_resolution)
+        return jnp.array([1.0 / r] * 3, dtype)
+    z, y, x = vol.shape
+    return jnp.array([1.0 / x, 1.0 / y, 1.0 / z], dtype)
 
 SHADING_NONE = "none"
 SHADING_DIFFUSE = "diffuse"  # gradient shading, no shadow rays
@@ -92,7 +102,7 @@ def _shadow_alpha(grid, color_table, alpha_table, value_range, base,
         active = (ty > tx) & (alpha < EARLY_EXIT_ALPHA)
         mid = 0.5 * (tx + ty)
         p = pos + mid[..., None] * light_dir
-        s = sample_volume(grid, _to_object(p, world_lo, world_hi))
+        s = sample_any_volume(grid, _to_object(p, world_lo, world_hi))
         _, a = classify(color_table, alpha_table, value_range, s)
         a = opacity_correction(a, base, ty - tx)
         alpha = jnp.where(active, alpha + (1.0 - alpha) * a, alpha)
@@ -140,7 +150,7 @@ def _march_step(carry, scene_leaves, ctx: ShadeContext, cfg: MarchConfig,
     pos = org + mid[..., None] * direction
     p_obj = _to_object(pos, ctx.world_lo, ctx.world_hi)
 
-    s = sample_volume(grid, p_obj)
+    s = sample_any_volume(grid, p_obj)
     rgb, a = classify(color_table, alpha_table, value_range, s)
     a = opacity_correction(a, base, ty - tx)
 
@@ -148,7 +158,8 @@ def _march_step(carry, scene_leaves, ctx: ShadeContext, cfg: MarchConfig,
         # Normal: flipped, normalized gradient (object == world axes up to the
         # box scale; xfmNormal with a diagonal matrix rescales then renormalizes,
         # so dividing by the box extent before normalizing is exact).
-        g = volume_gradient(grid, p_obj, s)
+        g = gradient_of(lambda q: sample_any_volume(grid, q), p_obj, s,
+                        _vol_rdim(grid, p_obj.dtype))
         extent = ctx.world_hi - ctx.world_lo
         n_world = safe_normalize(-g / extent)
         n_cam = safe_normalize(

@@ -62,9 +62,9 @@ class PTConfig:
 def _sample_alpha(leaves, world_lo, world_hi, pos):
     grid, color_table, alpha_table, value_range, density_scale = leaves
     p_obj = (pos - world_lo) / (world_hi - world_lo)
-    from ovr_tpu.core.sampling import sample_volume
+    from ovr_tpu.neural.field import sample_any_volume
 
-    s = sample_volume(grid, p_obj)
+    s = sample_any_volume(grid, p_obj)
     rgb, a = classify(color_table, alpha_table, value_range, s)
     return rgb, a
 
@@ -250,7 +250,8 @@ def render_frame(scene, cfg, camera, key, macrocells=None):
     screen = pixel_screen_coords(cfg.width, cfg.height, cfg.dtype)
     screen = screen.reshape(-1, 2)
     n = screen.shape[0]
-    leaves = (scene.volume.grid, scene.tfn.color, scene.tfn.alpha,
+    from ovr_tpu.api import _vol_repr
+    leaves = (_vol_repr(scene.volume), scene.tfn.color, scene.tfn.alpha,
               scene.tfn.value_range, scene.density_scale)
     lo = scene.volume.world_lo
     hi = scene.volume.world_hi
