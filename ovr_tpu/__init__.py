@@ -30,4 +30,10 @@ from ovr_tpu.core.scene import (  # noqa: F401
     StructuredVolume,
     TransferFunction,
 )
-from ovr_tpu.api import Renderer, RenderConfig, Frame, render  # noqa: F401
+from ovr_tpu.api import Renderer, RenderConfig, Frame  # noqa: F401
+from ovr_tpu.api import render as render_frame  # noqa: F401
+
+# NOTE: the api.render function is exported as `render_frame`, NOT `render` —
+# binding it to `render` would shadow the ovr_tpu.render subpackage and break
+# `import ovr_tpu.render.integrator` in fresh processes.
+from ovr_tpu import render  # noqa: F401,E402  (rebind name to the subpackage)
