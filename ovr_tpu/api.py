@@ -135,7 +135,12 @@ def render(scene: Scene, cfg: RenderConfig, camera: Optional[Camera] = None,
         scene.tfn.value_range,
         cfg.base_rate * jnp.ones((), cfg.dtype),
     )
-    step = 1.0 / scene.volume_sampling_rate
+    # The march step comes from the static config (the reference's
+    # set_volume_sampling_rate -> step = 1/rate, volume.cpp:172-179); the
+    # scene's volume_sampling_rate is only the scene-file default that
+    # Renderer/apps copy into cfg. Using cfg keeps step consistent with
+    # cfg.max_steps (both derive from cfg.sampling_rate).
+    step = jnp.asarray(1.0 / cfg.sampling_rate, cfg.dtype)
     march_fn = ig.march_while if cfg.fast_math else ig.march
 
     def one_sample(s, acc):

@@ -142,7 +142,9 @@ def _kernel(sigma_ref, dt_ref, tab_ref, vr_ref, base_ref, out_ref, *,
     """
     vr_lo = vr_ref[0, 0]
     vr_hi = vr_ref[0, 1]
-    vr_scale = pl.reciprocal(vr_hi - vr_lo, approx=False)
+    # NB: pl.reciprocal requires a vector operand on real Mosaic lowering;
+    # plain division is correct for this one-time scalar.
+    vr_scale = 1.0 / (vr_hi - vr_lo)
     base = base_ref[0, 0]
 
     # stage the table chunks as sublane-replicated vregs (static unroll)

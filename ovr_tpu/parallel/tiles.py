@@ -43,7 +43,7 @@ def _render_rows(scene: Scene, camera: Camera, cfg: api.RenderConfig,
         max_steps=cfg.max_steps, shading=cfg.shading,
         shadow_scale=cfg.shadow_scale,
         shadow_max_steps=cfg.shadow_max_steps or 1)
-    step = 1.0 / scene.volume_sampling_rate
+    step = jnp.asarray(1.0 / cfg.sampling_rate, cfg.dtype)
     color, grad, alpha = ig.march(org, direction, leaves, ctx, mcfg, step)
     color, grad, alpha = ig.finalize(color, grad, alpha)
     rgba = jnp.concatenate([color, alpha[..., None]], -1)

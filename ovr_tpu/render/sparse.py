@@ -142,7 +142,7 @@ def render_sparse(scene, cfg, camera=None, focus: Optional[FocusParams] = None,
         max_steps=cfg.max_steps, shading=cfg.shading,
         shadow_scale=cfg.shadow_scale,
         shadow_max_steps=cfg.shadow_max_steps or 1)
-    step = 1.0 / scene.volume_sampling_rate
+    step = jnp.asarray(1.0 / cfg.sampling_rate, cfg.dtype)
     march_fn = ig.march_while if cfg.fast_math else ig.march
     color, grad, alpha = march_fn(
         org, direction, leaves, ctx, mcfg, step,

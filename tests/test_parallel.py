@@ -77,9 +77,9 @@ def test_distributed_training_reduces_loss(small_grid):
     target = api.render(bright, cfg).rgba
 
     state = tiles.init_train_state(scene)
-    step = tiles.make_train_step(cfg, m, lr=0.5, momentum=0.5)
+    step = tiles.make_train_step(cfg, m, lr=2.0, momentum=0.5)
     losses = []
-    for _ in range(8):
+    for _ in range(12):
         state, loss = step(state, scene, scene.camera, target)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, losses
