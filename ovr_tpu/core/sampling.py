@@ -137,15 +137,17 @@ def opacity_correction(alpha: jnp.ndarray, base: jnp.ndarray,
 
 
 def gradient_of(sample_fn, p: jnp.ndarray, center_value: jnp.ndarray,
-                rdim: jnp.ndarray) -> jnp.ndarray:
+                rdim: jnp.ndarray, hi=1.0) -> jnp.ndarray:
     """Forward-difference gradient of any scalar field in [0,1]^3.
 
-    Step `rdim` per axis; steps that would leave the unit cube flip sign.
-    Reference: `compute_volume_gradient_object_space`
+    Step `rdim` per axis; steps that would cross `hi` (the coordinate of the
+    *volume's* upper boundary — 1.0 for a full grid, beyond 1 for an interior
+    brick of a larger volume whose halo extends past the local cube) flip
+    sign. Reference: `compute_volume_gradient_object_space`
     (`shaders_common.h:195-215`). Returns the *unnormalized* gradient
     (df/dp, per-axis divided by the step actually taken).
     """
-    stp = jnp.where(p + rdim > 1.0, -rdim, rdim)
+    stp = jnp.where(p + rdim > hi, -rdim, rdim)
 
     def axis_sample(axis):
         offset = jnp.zeros_like(p).at[..., axis].set(stp[..., axis])

@@ -131,21 +131,37 @@ class ShadeContext:
     wtc: Any  # (3,3) world->camera rotation rows
     world_lo: Any
     world_hi: Any
+    # Local coordinate of the *global* volume's upper boundary per axis
+    # (None = 1.0). Set by the bricked path so finite-difference gradients
+    # flip direction only at the true volume edge, not at brick halos.
+    grad_hi: Any = None
 
 
 jax.tree_util.register_dataclass(
-    ShadeContext, data_fields=["light_dir", "wtc", "world_lo", "world_hi"],
+    ShadeContext,
+    data_fields=["light_dir", "wtc", "world_lo", "world_hi", "grad_hi"],
     meta_fields=[],
 )
 
 
 def _march_step(carry, scene_leaves, ctx: ShadeContext, cfg: MarchConfig,
-                org, direction, step, t1, occupancy=None):
-    """One front-to-back step for the whole ray batch. Returns new carry."""
+                org, direction, step, t1, occupancy=None, t_own=None):
+    """One front-to-back step for the whole ray batch. Returns new carry.
+
+    `t_own`: optional per-ray (lo, hi) ownership window — intervals whose
+    midpoint falls outside [lo, hi) contribute nothing. Used by the bricked
+    multi-device path (ovr_tpu.parallel.bricks) to partition the global march
+    lattice across volume bricks without changing sample positions.
+    """
     (grid, color_table, alpha_table, value_range, base) = scene_leaves
     tx, ty, color, gradient, alpha = carry
 
     active = (ty > tx) & (alpha < EARLY_EXIT_ALPHA)
+    contrib = active
+    if t_own is not None:
+        own_lo, own_hi = t_own
+        m = 0.5 * (tx + ty)
+        contrib = active & (m >= own_lo) & (m < own_hi)
     mid = 0.5 * (tx + ty)
     pos = org + mid[..., None] * direction
     p_obj = _to_object(pos, ctx.world_lo, ctx.world_hi)
@@ -159,7 +175,8 @@ def _march_step(carry, scene_leaves, ctx: ShadeContext, cfg: MarchConfig,
         # box scale; xfmNormal with a diagonal matrix rescales then renormalizes,
         # so dividing by the box extent before normalizing is exact).
         g = gradient_of(lambda q: sample_any_volume(grid, q), p_obj, s,
-                        _vol_rdim(grid, p_obj.dtype))
+                        _vol_rdim(grid, p_obj.dtype),
+                        hi=1.0 if ctx.grad_hi is None else ctx.grad_hi)
         extent = ctx.world_hi - ctx.world_lo
         n_world = safe_normalize(-g / extent)
         n_cam = safe_normalize(
@@ -177,7 +194,7 @@ def _march_step(carry, scene_leaves, ctx: ShadeContext, cfg: MarchConfig,
         n_cam = jnp.zeros_like(pos)
 
     tr = (1.0 - alpha)
-    aw = jnp.where(active, a, 0.0)
+    aw = jnp.where(contrib, a, 0.0)
     color = color + (tr * aw)[..., None] * _clamp01(rgb)
     gradient = gradient + (tr * aw)[..., None] * _clamp01(n_cam)
     alpha = alpha + tr * aw
@@ -238,6 +255,46 @@ def march(org, direction, scene_leaves, ctx: ShadeContext, cfg: MarchConfig,
 
     carry, _ = jax.lax.scan(body, carry, None, length=cfg.max_steps)
     _, _, color, gradient, alpha = carry
+    return color, gradient, alpha
+
+
+def march_segment(org, direction, scene_leaves, ctx: ShadeContext,
+                  cfg: MarchConfig, step, t0_lattice, t1_global,
+                  t_enter, t_exit, segment_steps: int):
+    """March only the intervals of the global lattice owned by [t_enter,
+    t_exit) — the per-brick integrator of the multi-device bricked path.
+
+    Sample positions stay on the global march lattice anchored at
+    `t0_lattice` (the ray's entry into the *whole* volume): interval k is
+    [t0 + k*step, min(t0 + (k+1)*step, t1_global)], and this segment
+    integrates exactly the intervals whose midpoint lies in [t_enter, t_exit),
+    so summing the premultiplied partials of a partition of [t0, t1] under the
+    over-operator reproduces the unbricked march up to fp ordering.
+
+    Returns premultiplied (color, gradient, alpha) — NOT finalized.
+    """
+    dt = org.dtype
+    # Integer lattice index so every brick computes bit-identical interval
+    # positions (an accumulated tx += step chain would diverge by ulps across
+    # bricks and mis-partition boundary intervals).
+    k_lo = jnp.maximum(jnp.ceil((t_enter - t0_lattice) / step - 0.5), 0.0)
+    n = org.shape[0]
+    zero3 = jnp.zeros((n, 3), dt)
+    zero = jnp.zeros((n,), dt)
+
+    def body(carry, s):
+        k, color, gradient, alpha = carry
+        tx = t0_lattice + k * step
+        ty = jnp.minimum(tx + step, t1_global)
+        st = (tx, ty, color, gradient, alpha)
+        _, _, color, gradient, alpha = _march_step(
+            st, scene_leaves, ctx, cfg, org, direction, step, t1_global,
+            t_own=(t_enter, t_exit))
+        return (k + 1.0, color, gradient, alpha), None
+
+    carry, _ = jax.lax.scan(body, (k_lo, zero3, zero3, zero), None,
+                            length=segment_steps)
+    _, color, gradient, alpha = carry
     return color, gradient, alpha
 
 
