@@ -50,6 +50,8 @@ class RenderConfig:
     use_macrocells: bool = False  # empty-space skip / majorant DDA
     jitter_rays: bool = False  # OVR_OPTIX7_JITTER_RAYS
     fast_math: bool = False  # while_loop early exit (forward-only)
+    iso_steps: int = 128  # isosurface root-bracketing steps
+    geometry_chunk: int = 256  # triangles per Möller-Trumbore block
     dtype: Any = jnp.float32
 
     def resolved(self, scene: Scene) -> "RenderConfig":
@@ -154,9 +156,23 @@ def render(scene: Scene, cfg: RenderConfig, camera: Optional[Camera] = None,
         org, direction = generate_rays(camera, sc, cfg.width, cfg.height)
         tj = (jax.random.uniform(jax.random.fold_in(skey, 7), (n,), cfg.dtype)
               if cfg.jitter_rays else None)
+        # non-volume geometry first; the volume blends over it
+        # (shaders_raymarching.cu:283-311)
+        if scene.geometries:
+            from ovr_tpu.render import geometry as geo
+            bg_rgb, bg_a, t_bg = geo.render_geometries(
+                scene, org, direction, iso_steps=cfg.iso_steps,
+                chunk=cfg.geometry_chunk)
+        else:
+            t_bg = None
         color, grad, alpha = march_fn(
             org, direction, leaves, ctx, mcfg, step,
-            occupancy=macrocells if cfg.use_macrocells else None, jitter=tj)
+            occupancy=macrocells if cfg.use_macrocells else None, jitter=tj,
+            t_cap=t_bg)
+        if scene.geometries:
+            tr = (1.0 - alpha)
+            color = color + tr[..., None] * bg_rgb
+            alpha = alpha + tr * bg_a
         color, grad, alpha = ig.finalize(color, grad, alpha)
         return (acc[0] + color, acc[1] + grad, acc[2] + alpha)
 

@@ -135,6 +135,89 @@ class StructuredVolume:
 
 
 @_pytree_dataclass
+class Material:
+    """OBJ-style surface material (reference: `ovr/scene.h:267-282`).
+
+    `kd` diffuse RGB, `ks` specular RGB, `ns` shininess exponent, `d` opacity.
+    """
+
+    kd: jnp.ndarray  # (3,)
+    ks: jnp.ndarray  # (3,)
+    ns: jnp.ndarray  # ()
+    d: jnp.ndarray  # ()
+
+    @staticmethod
+    def create(kd=(0.8, 0.8, 0.8), ks=(0.0, 0.0, 0.0), ns=10.0,
+               d=1.0) -> "Material":
+        return Material(kd=_as_f32(kd), ks=_as_f32(ks), ns=_as_f32(ns),
+                        d=_as_f32(d))
+
+
+@_pytree_dataclass
+class TriangleMesh:
+    """Indexed triangle mesh geometry (reference: `ovr/scene.h:284-304`,
+    `GeometryTriangles`). Optional per-vertex colors override the material
+    diffuse."""
+
+    verts: jnp.ndarray  # (V, 3)
+    faces: jnp.ndarray  # (F, 3) int32
+    colors: jnp.ndarray  # (V, 3); ones = use material kd
+
+    @staticmethod
+    def create(verts, faces, colors=None) -> "TriangleMesh":
+        verts = _as_f32(verts)
+        if colors is None:
+            colors = jnp.ones_like(verts)
+        return TriangleMesh(verts=verts,
+                            faces=jnp.asarray(faces, jnp.int32),
+                            colors=_as_f32(colors))
+
+
+@_pytree_dataclass
+class Isosurface:
+    """Isosurface(s) of the scene volume (reference: `ovr/scene.h:284-304`,
+    `GeometryIsosurfaces`; rendered by the OSPRay backend's isosurface
+    geometry)."""
+
+    isovalues: jnp.ndarray  # (K,) in normalized sample units
+
+    @staticmethod
+    def create(isovalues) -> "Isosurface":
+        iso = _as_f32(isovalues)
+        if iso.ndim == 0:
+            iso = iso[None]
+        return Isosurface(isovalues=iso)
+
+
+@_pytree_dataclass(static=("kind",))
+class GeometryInstance:
+    """A geometry + material placed by an affine transform
+    (reference: `ovr::scene::Instance`, `ovr/scene.h:324-327`).
+
+    `xfm` is a (3, 4) object-to-world affine [R | t]; rays are transformed
+    world->object for intersection and normals object->world by R^-T.
+    """
+
+    geometry: Any  # TriangleMesh | Isosurface
+    material: Material
+    xfm: jnp.ndarray  # (3, 4)
+    kind: str = "triangles"  # "triangles" | "isosurface"
+
+    @staticmethod
+    def create(geometry, material=None, xfm=None) -> "GeometryInstance":
+        if material is None:
+            material = Material.create()
+        if xfm is None:
+            xfm = jnp.concatenate(
+                [jnp.eye(3, dtype=jnp.float32),
+                 jnp.zeros((3, 1), jnp.float32)], axis=1)
+        kind = ("isosurface" if isinstance(geometry, Isosurface)
+                else "triangles")
+        return GeometryInstance(geometry=geometry, material=material,
+                                xfm=_as_f32(xfm), kind=kind)
+
+
+@_pytree_dataclass
 class Light:
     """Directional light + global ambient intensity.
 
@@ -171,10 +254,11 @@ class Scene:
     camera: Camera
     volume_sampling_rate: jnp.ndarray  # ()
     density_scale: jnp.ndarray  # () path-tracer extinction scale
+    geometries: tuple = ()  # tuple[GeometryInstance, ...]
 
     @staticmethod
     def create(volume, tfn, light=None, camera=None, volume_sampling_rate=1.0,
-               density_scale=1.0) -> "Scene":
+               density_scale=1.0, geometries=()) -> "Scene":
         if light is None:
             light = Light.create()
         if camera is None:
@@ -183,6 +267,7 @@ class Scene:
             volume=volume, tfn=tfn, light=light, camera=camera,
             volume_sampling_rate=_as_f32(volume_sampling_rate),
             density_scale=_as_f32(density_scale),
+            geometries=tuple(geometries),
         )
 
 

@@ -231,17 +231,31 @@ def _init_carry(org, direction, scene_leaves, ctx, step, big=3.4e38):
     return (tx, ty, zero3, zero3, zero), t1
 
 
+def _apply_t_cap(carry, t1, t_cap):
+    """Clip the march interval at per-ray cap `t_cap` (background geometry
+    hits: the reference traces non-volume geometry first and the volume
+    integral stops at the surface, `shaders_raymarching.cu:283-311`)."""
+    if t_cap is None:
+        return carry, t1
+    tx, ty, c, g, a = carry
+    t1 = jnp.minimum(t1, t_cap)
+    tx = jnp.minimum(tx, t1)
+    ty = jnp.minimum(ty, t1)
+    return (tx, ty, c, g, a), t1
+
+
 def march(org, direction, scene_leaves, ctx: ShadeContext, cfg: MarchConfig,
-          step, occupancy=None, jitter=None):
+          step, occupancy=None, jitter=None, t_cap=None):
     """Differentiable scan-based march. Returns (color, gradient, alpha).
 
     `org`/`direction`: (N, 3) world-space rays. `scene_leaves` =
     (grid, color_table, alpha_table, value_range, base). `step`: scalar world
     step (1 / sampling_rate). `jitter`: optional (N,) in [0,1) multiplied by
     step and added to t0 (OVR_OPTIX7_JITTER_RAYS behavior, shaders_raymarching
-    .cu:194-197).
+    .cu:194-197). `t_cap`: optional (N,) march stop (surface hits).
     """
     carry, t1 = _init_carry(org, direction, scene_leaves, ctx, step)
+    carry, t1 = _apply_t_cap(carry, t1, t_cap)
     if jitter is not None:
         tx, ty, c, g, a = carry
         tx = tx + jitter * step
@@ -299,9 +313,11 @@ def march_segment(org, direction, scene_leaves, ctx: ShadeContext,
 
 
 def march_while(org, direction, scene_leaves, ctx: ShadeContext,
-                cfg: MarchConfig, step, occupancy=None, jitter=None):
+                cfg: MarchConfig, step, occupancy=None, jitter=None,
+                t_cap=None):
     """Forward-only march that exits once every ray terminates (fast path)."""
     carry, t1 = _init_carry(org, direction, scene_leaves, ctx, step)
+    carry, t1 = _apply_t_cap(carry, t1, t_cap)
     if jitter is not None:
         tx, ty, c, g, a = carry
         tx = tx + jitter * step
