@@ -29,7 +29,12 @@ from ovr_tpu.core.scene import Camera, Scene
 from ovr_tpu.core.sampling import safe_normalize
 from ovr_tpu.render import accel
 from ovr_tpu.render import integrator as ig
-from ovr_tpu.render.camera import camera_basis, generate_rays, pixel_screen_coords
+from ovr_tpu.render.camera import (
+    blended_flow,
+    camera_basis,
+    generate_rays,
+    pixel_screen_coords,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,10 +78,14 @@ class RenderConfig:
 class Frame:
     """Rendered frame: rgba (H, W, 4) straight-alpha, grad (H, W, 3)
     camera-space shaded-normal channel (the reference's second framebuffer,
-    `ovr/renderer.h:89-97`)."""
+    `ovr/renderer.h:89-97`), depth (H, W) alpha-blended expected hit
+    distance, and flow (H, W, 2) screen-space optical flow vs last_camera
+    (`shaders_common.h:303-309`; None unless last_camera was given)."""
 
     rgba: jnp.ndarray
     grad: jnp.ndarray
+    depth: Any = None
+    flow: Any = None
 
 
 def _vol_repr(volume):
@@ -102,7 +111,8 @@ def _shade_ctx(scene: Scene, camera: Camera, cfg: RenderConfig) -> ig.ShadeConte
 @partial(jax.jit, static_argnames=("cfg",))
 def render(scene: Scene, cfg: RenderConfig, camera: Optional[Camera] = None,
            frame_index: jnp.ndarray = 0, key: Optional[jax.Array] = None,
-           macrocells: Optional[accel.MacrocellGrid] = None) -> Frame:
+           macrocells: Optional[accel.MacrocellGrid] = None,
+           last_camera: Optional[Camera] = None) -> Frame:
     """Render one frame. Pure, jitted, differentiable (when cfg.fast_math is
     False and cfg.path_tracing is False uses the scan integrator).
 
@@ -165,30 +175,41 @@ def render(scene: Scene, cfg: RenderConfig, camera: Optional[Camera] = None,
                 chunk=cfg.geometry_chunk)
         else:
             t_bg = None
-        color, grad, alpha = march_fn(
+        color, grad, depth, alpha = march_fn(
             org, direction, leaves, ctx, mcfg, step,
             occupancy=macrocells if cfg.use_macrocells else None, jitter=tj,
             t_cap=t_bg)
         if scene.geometries:
             tr = (1.0 - alpha)
             color = color + tr[..., None] * bg_rgb
+            depth = depth + tr * bg_a * jnp.minimum(t_bg, 1e30)
             alpha = alpha + tr * bg_a
-        color, grad, alpha = ig.finalize(color, grad, alpha)
-        return (acc[0] + color, acc[1] + grad, acc[2] + alpha)
+        if last_camera is not None:
+            flow = blended_flow(camera, last_camera, cfg.width, cfg.height,
+                                org, direction, depth, alpha)
+        else:
+            flow = jnp.zeros((n, 2), cfg.dtype)
+        color, grad, depth, alpha = ig.finalize(color, grad, depth, alpha)
+        return (acc[0] + color, acc[1] + grad, acc[2] + depth,
+                acc[3] + alpha, acc[4] + flow)
 
     zero = (jnp.zeros((n, 3), cfg.dtype), jnp.zeros((n, 3), cfg.dtype),
-            jnp.zeros((n,), cfg.dtype))
+            jnp.zeros((n,), cfg.dtype), jnp.zeros((n,), cfg.dtype),
+            jnp.zeros((n, 2), cfg.dtype))
     if cfg.spp == 1:
         acc = one_sample(0, zero)
     else:
         acc = jax.lax.fori_loop(0, cfg.spp, one_sample, zero)
     rspp = 1.0 / cfg.spp
-    color, grad, alpha = (a * rspp for a in acc)
+    color, grad, depth, alpha, flow = (a * rspp for a in acc)
 
     rgba = jnp.concatenate([color, alpha[..., None]], axis=-1)
     return Frame(
         rgba=rgba.reshape(cfg.height, cfg.width, 4),
         grad=grad.reshape(cfg.height, cfg.width, 3),
+        depth=depth.reshape(cfg.height, cfg.width),
+        flow=(flow.reshape(cfg.height, cfg.width, 2)
+              if last_camera is not None else None),
     )
 
 

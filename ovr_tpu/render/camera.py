@@ -105,3 +105,25 @@ def optical_flow(camera: Camera, last_camera: Camera, width: int, height: int,
     (`shaders_common.h:303-309`)."""
     return (project_to_screen(camera, width, height, p)
             - project_to_screen(last_camera, width, height, p))
+
+
+def blended_flow(camera: Camera, last_camera: Camera, width: int, height: int,
+                 org: jnp.ndarray, direction: jnp.ndarray,
+                 depth_premult: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Exact alpha-blended optical flow from the march's premultiplied depth.
+
+    The reference blends per-sample flow front-to-back like color
+    (`shaders_raymarching.cu:125-131,163`). Since `project_to_screen` is
+    affine in p (p -> M p + c, no perspective divide), the blended sum
+    sum_i w_i flow(p_i) equals flow_lin(sum_i w_i p_i) + (sum_i w_i) *
+    flow(0), and sum w_i p_i = org * alpha + dir * sum w_i t_i — so one extra
+    scalar march channel (premultiplied depth) reconstructs the whole flow
+    buffer. Returns the straight (alpha-divided) flow.
+    """
+    p_sum = org * alpha[..., None] + direction * depth_premult[..., None]
+    f_p = optical_flow(camera, last_camera, width, height, p_sum)
+    f_0 = optical_flow(camera, last_camera, width, height,
+                       jnp.zeros_like(org))
+    f_premult = f_p + (alpha[..., None] - 1.0) * f_0
+    safe = jnp.maximum(alpha, 1e-20)[..., None]
+    return jnp.where(alpha[..., None] > 0, f_premult / safe, 0.0)

@@ -154,7 +154,7 @@ def _march_step(carry, scene_leaves, ctx: ShadeContext, cfg: MarchConfig,
     lattice across volume bricks without changing sample positions.
     """
     (grid, color_table, alpha_table, value_range, base) = scene_leaves
-    tx, ty, color, gradient, alpha = carry
+    tx, ty, color, gradient, depth, alpha = carry
 
     active = (ty > tx) & (alpha < EARLY_EXIT_ALPHA)
     contrib = active
@@ -197,6 +197,11 @@ def _march_step(carry, scene_leaves, ctx: ShadeContext, cfg: MarchConfig,
     aw = jnp.where(contrib, a, 0.0)
     color = color + (tr * aw)[..., None] * _clamp01(rgb)
     gradient = gradient + (tr * aw)[..., None] * _clamp01(n_cam)
+    # premultiplied expected depth: enough to reconstruct the alpha-blended
+    # sample position (org + depth*dir after finalize) and, because the
+    # reference's screen projection is affine (`shaders_common.h:291-301`),
+    # the exact alpha-blended optical flow (`compute_optical_flow`).
+    depth = depth + tr * aw * mid
     alpha = alpha + tr * aw
 
     # Advance; with an occupancy grid, empty macrocells fast-forward to the
@@ -213,7 +218,7 @@ def _march_step(carry, scene_leaves, ctx: ShadeContext, cfg: MarchConfig,
         ty_base = jnp.minimum(tx_next + step, t1)
     tx = jnp.where(active, tx_next, tx)
     ty = jnp.where(active, ty_base, ty)
-    return (tx, ty, color, gradient, alpha)
+    return (tx, ty, color, gradient, depth, alpha)
 
 
 def _init_carry(org, direction, scene_leaves, ctx, step, big=3.4e38):
@@ -228,7 +233,7 @@ def _init_carry(org, direction, scene_leaves, ctx, step, big=3.4e38):
     ty = jnp.minimum(t1, t0 + step)
     zero3 = jnp.zeros((n, 3), dt)
     zero = jnp.zeros((n,), dt)
-    return (tx, ty, zero3, zero3, zero), t1
+    return (tx, ty, zero3, zero3, zero, zero), t1
 
 
 def _apply_t_cap(carry, t1, t_cap):
@@ -237,11 +242,11 @@ def _apply_t_cap(carry, t1, t_cap):
     integral stops at the surface, `shaders_raymarching.cu:283-311`)."""
     if t_cap is None:
         return carry, t1
-    tx, ty, c, g, a = carry
+    tx, ty, c, g, d, a = carry
     t1 = jnp.minimum(t1, t_cap)
     tx = jnp.minimum(tx, t1)
     ty = jnp.minimum(ty, t1)
-    return (tx, ty, c, g, a), t1
+    return (tx, ty, c, g, d, a), t1
 
 
 def march(org, direction, scene_leaves, ctx: ShadeContext, cfg: MarchConfig,
@@ -257,10 +262,10 @@ def march(org, direction, scene_leaves, ctx: ShadeContext, cfg: MarchConfig,
     carry, t1 = _init_carry(org, direction, scene_leaves, ctx, step)
     carry, t1 = _apply_t_cap(carry, t1, t_cap)
     if jitter is not None:
-        tx, ty, c, g, a = carry
+        tx, ty, c, g, d, a = carry
         tx = tx + jitter * step
         ty = jnp.minimum(t1, tx + step)
-        carry = (tx, ty, c, g, a)
+        carry = (tx, ty, c, g, d, a)
 
     def body(carry, _):
         carry = _march_step(carry, scene_leaves, ctx, cfg, org, direction,
@@ -268,8 +273,8 @@ def march(org, direction, scene_leaves, ctx: ShadeContext, cfg: MarchConfig,
         return carry, None
 
     carry, _ = jax.lax.scan(body, carry, None, length=cfg.max_steps)
-    _, _, color, gradient, alpha = carry
-    return color, gradient, alpha
+    _, _, color, gradient, depth, alpha = carry
+    return color, gradient, depth, alpha
 
 
 def march_segment(org, direction, scene_leaves, ctx: ShadeContext,
@@ -297,19 +302,19 @@ def march_segment(org, direction, scene_leaves, ctx: ShadeContext,
     zero = jnp.zeros((n,), dt)
 
     def body(carry, s):
-        k, color, gradient, alpha = carry
+        k, color, gradient, depth, alpha = carry
         tx = t0_lattice + k * step
         ty = jnp.minimum(tx + step, t1_global)
-        st = (tx, ty, color, gradient, alpha)
-        _, _, color, gradient, alpha = _march_step(
+        st = (tx, ty, color, gradient, depth, alpha)
+        _, _, color, gradient, depth, alpha = _march_step(
             st, scene_leaves, ctx, cfg, org, direction, step, t1_global,
             t_own=(t_enter, t_exit))
-        return (k + 1.0, color, gradient, alpha), None
+        return (k + 1.0, color, gradient, depth, alpha), None
 
-    carry, _ = jax.lax.scan(body, (k_lo, zero3, zero3, zero), None,
+    carry, _ = jax.lax.scan(body, (k_lo, zero3, zero3, zero, zero), None,
                             length=segment_steps)
-    _, color, gradient, alpha = carry
-    return color, gradient, alpha
+    _, color, gradient, depth, alpha = carry
+    return color, gradient, depth, alpha
 
 
 def march_while(org, direction, scene_leaves, ctx: ShadeContext,
@@ -319,13 +324,13 @@ def march_while(org, direction, scene_leaves, ctx: ShadeContext,
     carry, t1 = _init_carry(org, direction, scene_leaves, ctx, step)
     carry, t1 = _apply_t_cap(carry, t1, t_cap)
     if jitter is not None:
-        tx, ty, c, g, a = carry
+        tx, ty, c, g, d, a = carry
         tx = tx + jitter * step
         ty = jnp.minimum(t1, tx + step)
-        carry = (tx, ty, c, g, a)
+        carry = (tx, ty, c, g, d, a)
 
     def cond(state):
-        i, (tx, ty, _, _, alpha) = state
+        i, (tx, ty, _, _, _, alpha) = state
         any_active = jnp.any((ty > tx) & (alpha < EARLY_EXIT_ALPHA))
         return jnp.logical_and(i < cfg.max_steps, any_active)
 
@@ -336,17 +341,20 @@ def march_while(org, direction, scene_leaves, ctx: ShadeContext,
         return (i + 1, carry)
 
     _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
-    _, _, color, gradient, alpha = carry
-    return color, gradient, alpha
+    _, _, color, gradient, depth, alpha = carry
+    return color, gradient, depth, alpha
 
 
-def finalize(color, gradient, alpha):
+def finalize(color, gradient, depth, alpha):
     """Convert premultiplied accumulators to the stored (straight) outputs.
 
     With no background geometry the reference divides by the final alpha
     (`alpha_blend` with zero background, shaders_raymarching.cu:314-320).
+    `depth` becomes the alpha-blended expected hit distance (0 on empty rays).
     """
-    safe = jnp.maximum(alpha, 1e-20)[..., None]
-    out_color = jnp.where(alpha[..., None] > 0, color / safe, 0.0)
-    out_grad = jnp.where(alpha[..., None] > 0, gradient / safe, 0.0)
-    return out_color, out_grad, alpha
+    safe3 = jnp.maximum(alpha, 1e-20)[..., None]
+    safe = jnp.maximum(alpha, 1e-20)
+    out_color = jnp.where(alpha[..., None] > 0, color / safe3, 0.0)
+    out_grad = jnp.where(alpha[..., None] > 0, gradient / safe3, 0.0)
+    out_depth = jnp.where(alpha > 0, depth / safe, 0.0)
+    return out_color, out_grad, out_depth, alpha
