@@ -109,11 +109,12 @@ def brick_volume(volume: StructuredVolume, n_bricks: int) -> BrickedVolume:
 
 
 def _over(front, back):
-    """Over-compose two premultiplied (color, gradient, transmittance)
-    partials; `front` is nearer the camera. Identity element: (0, 0, 1)."""
-    cf, gf, tf = front
-    cb, gb, tb = back
-    return (cf + tf[..., None] * cb, gf + tf[..., None] * gb, tf * tb)
+    """Over-compose two premultiplied (color, gradient, depth, transmittance)
+    partials; `front` is nearer the camera. Identity: (0, 0, 0, 1)."""
+    cf, gf, df, tf = front
+    cb, gb, db, tb = back
+    return (cf + tf[..., None] * cb, gf + tf[..., None] * gb,
+            df + tf * db, tf * tb)
 
 
 def _select(pred, a, b):
@@ -123,7 +124,8 @@ def _select(pred, a, b):
         for x, y in zip(a, b))
 
 
-def ring_composite(color, grad, alpha, ascending, axis_name, n_bricks: int):
+def ring_composite(color, grad, depth, alpha, ascending, axis_name,
+                   n_bricks: int):
     """Combine per-brick premultiplied partials over `axis_name` with a
     ppermute ring, in per-ray front-to-back order.
 
@@ -133,12 +135,13 @@ def ring_composite(color, grad, alpha, ascending, axis_name, n_bricks: int):
     into a front-group accumulator, larger into a back-group, each with a
     prepend/append chosen per ray so group-internal order is front-to-back.
 
-    Returns (color, grad, alpha) of the full ray, identical on every brick.
+    Returns (color, grad, depth, alpha) of the full ray, identical on every
+    brick.
     """
     i = jax.lax.axis_index(axis_name)
     ident = (jnp.zeros_like(color), jnp.zeros_like(grad),
-             jnp.ones_like(alpha))
-    own = (color, grad, 1.0 - alpha)
+             jnp.zeros_like(depth), jnp.ones_like(alpha))
+    own = (color, grad, depth, 1.0 - alpha)
     acc_lt = ident  # bricks j < i, composed front-to-back
     acc_gt = ident  # bricks j > i
     trav = own
@@ -160,25 +163,27 @@ def ring_composite(color, grad, alpha, ascending, axis_name, n_bricks: int):
                          upd_gt, acc_gt)
     asc_res = _over(acc_lt, _over(own, acc_gt))
     desc_res = _over(acc_gt, _over(own, acc_lt))
-    c, g, t = _select(ascending, asc_res, desc_res)
-    return c, g, 1.0 - t
+    c, g, d, t = _select(ascending, asc_res, desc_res)
+    return c, g, d, 1.0 - t
 
 
-def gather_composite(color, grad, alpha, ascending, axis_name, n_bricks: int):
+def gather_composite(color, grad, depth, alpha, ascending, axis_name,
+                     n_bricks: int):
     """all_gather-based composite (same result as ring_composite; one
     collective instead of B-1 pipelined hops)."""
     cs = jax.lax.all_gather(color, axis_name)  # (B, N, 3)
     gs = jax.lax.all_gather(grad, axis_name)
+    ds = jax.lax.all_gather(depth, axis_name)  # (B, N)
     as_ = jax.lax.all_gather(alpha, axis_name)  # (B, N)
     ident = (jnp.zeros_like(color), jnp.zeros_like(grad),
-             jnp.ones_like(alpha))
+             jnp.zeros_like(depth), jnp.ones_like(alpha))
     asc = desc = ident
     for b in range(n_bricks):
-        asc = _over(asc, (cs[b], gs[b], 1.0 - as_[b]))
+        asc = _over(asc, (cs[b], gs[b], ds[b], 1.0 - as_[b]))
         rb = n_bricks - 1 - b
-        desc = _over(desc, (cs[rb], gs[rb], 1.0 - as_[rb]))
-    c, g, t = _select(ascending, asc, desc)
-    return c, g, 1.0 - t
+        desc = _over(desc, (cs[rb], gs[rb], ds[rb], 1.0 - as_[rb]))
+    c, g, d, t = _select(ascending, asc, desc)
+    return c, g, d, 1.0 - t
 
 
 def _strip_volume(scene: Scene) -> Scene:
@@ -228,14 +233,14 @@ def _render_brick_rows(scene: Scene, camera: Camera, cfg: api.RenderConfig,
         shadow_scale=cfg.shadow_scale,
         shadow_max_steps=cfg.shadow_max_steps or 1)
     step = jnp.asarray(1.0 / cfg.sampling_rate, dt)
-    color, gradc, alpha = ig.march_segment(
+    color, gradc, depth, alpha = ig.march_segment(
         org, direction, leaves, ctx, mcfg, step, t0g, t1g, t_enter, t_exit,
         segment_steps)
 
     ascending = direction[..., 2] >= 0
-    color, gradc, alpha = composite(color, gradc, alpha, ascending,
-                                    BRICK_AXIS, n_bricks)
-    color, gradc, alpha = ig.finalize(color, gradc, alpha)
+    color, gradc, depth, alpha = composite(color, gradc, depth, alpha,
+                                           ascending, BRICK_AXIS, n_bricks)
+    color, gradc, depth, alpha = ig.finalize(color, gradc, depth, alpha)
     rgba = jnp.concatenate([color, alpha[..., None]], -1)
     return rgba.reshape(h, w, 4)
 

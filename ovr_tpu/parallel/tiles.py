@@ -44,8 +44,9 @@ def _render_rows(scene: Scene, camera: Camera, cfg: api.RenderConfig,
         shadow_scale=cfg.shadow_scale,
         shadow_max_steps=cfg.shadow_max_steps or 1)
     step = jnp.asarray(1.0 / cfg.sampling_rate, cfg.dtype)
-    color, grad, alpha = ig.march(org, direction, leaves, ctx, mcfg, step)
-    color, grad, alpha = ig.finalize(color, grad, alpha)
+    color, grad, depth, alpha = ig.march(org, direction, leaves, ctx, mcfg,
+                                         step)
+    color, grad, depth, alpha = ig.finalize(color, grad, depth, alpha)
     rgba = jnp.concatenate([color, alpha[..., None]], -1)
     return rgba.reshape(h, w, 4)
 

@@ -144,17 +144,22 @@ def render_sparse(scene, cfg, camera=None, focus: Optional[FocusParams] = None,
         shadow_max_steps=cfg.shadow_max_steps or 1)
     step = jnp.asarray(1.0 / cfg.sampling_rate, cfg.dtype)
     march_fn = ig.march_while if cfg.fast_math else ig.march
-    color, grad, alpha = march_fn(
+    color, grad, depth, alpha = march_fn(
         org, direction, leaves, ctx, mcfg, step,
         occupancy=macrocells if cfg.use_macrocells else None)
-    color, grad, alpha = ig.finalize(color, grad, alpha)
+    color, grad, depth, alpha = ig.finalize(color, grad, depth, alpha)
     rgba = jnp.concatenate([color, alpha[:, None]], -1)
 
     if prev_frame is None:
         prev_rgba = jnp.zeros((cfg.height, cfg.width, 4), cfg.dtype)
         prev_grad = jnp.zeros((cfg.height, cfg.width, 3), cfg.dtype)
+        prev_depth = jnp.zeros((cfg.height, cfg.width), cfg.dtype)
     else:
         prev_rgba, prev_grad = prev_frame.rgba, prev_frame.grad
+        prev_depth = (prev_frame.depth if prev_frame.depth is not None
+                      else jnp.zeros((cfg.height, cfg.width), cfg.dtype))
     out_rgba = scatter_to_frame(prev_rgba, idx, rgba)
     out_grad = scatter_to_frame(prev_grad, idx, grad)
-    return api.Frame(rgba=out_rgba, grad=out_grad), idx
+    out_depth = scatter_to_frame(prev_depth[..., None], idx,
+                                 depth[:, None])[..., 0]
+    return api.Frame(rgba=out_rgba, grad=out_grad, depth=out_depth), idx
