@@ -53,8 +53,19 @@ class RenderConfig:
     path_tracing: bool = False
     max_scatters: int = 24  # params.h:86
     use_macrocells: bool = False  # empty-space skip / majorant DDA
+    # adaptive (majorant-scaled) step size within macrocells, vnr
+    # method_optix.cu:70-108; > 1 enables, value = max step multiplier.
+    adaptive_scale: float = 1.0
     jitter_rays: bool = False  # OVR_OPTIX7_JITTER_RAYS
     fast_math: bool = False  # while_loop early exit (forward-only)
+    # shadow term from a precomputed light-transmittance lattice
+    # (render.lightgrid) instead of a per-sample shadow march
+    shadow_grid: bool = True
+    shadow_grid_res: int = 128  # lattice resolution cap per axis
+    shading_scale: float = 0.8  # 'ssh' deferred-shade blend weight
+    # rays per lax.map chunk (None = whole frame at once); bounds working-set
+    # memory and localizes the fast-math early exit to a chunk
+    ray_chunk: Optional[int] = None
     iso_steps: int = 128  # isosurface root-bracketing steps
     geometry_chunk: int = 256  # triangles per Möller-Trumbore block
     dtype: Any = jnp.float32
@@ -94,7 +105,8 @@ def _vol_repr(volume):
     return volume.grid if hasattr(volume, "grid") else volume
 
 
-def _shade_ctx(scene: Scene, camera: Camera, cfg: RenderConfig) -> ig.ShadeContext:
+def _shade_ctx(scene: Scene, camera: Camera, cfg: RenderConfig,
+               light_alpha=None) -> ig.ShadeContext:
     _, direction, horizontal, vertical = camera_basis(camera, cfg.width, cfg.height)
     x = safe_normalize(horizontal)
     y = safe_normalize(vertical)
@@ -105,18 +117,49 @@ def _shade_ctx(scene: Scene, camera: Camera, cfg: RenderConfig) -> ig.ShadeConte
         wtc=wtc,
         world_lo=scene.volume.world_lo,
         world_hi=scene.volume.world_hi,
+        light_alpha=light_alpha,
     )
+
+
+def _wants_light_grid(cfg: RenderConfig) -> bool:
+    return cfg.shadow_grid and cfg.shading in (ig.SHADING_SHADOW,
+                                               ig.SHADING_SSH)
+
+
+def build_light_grid(scene: Scene, cfg: RenderConfig) -> jnp.ndarray:
+    """Shadow-alpha lattice for `render(..., light_grid=...)` (jittable;
+    rebuild when the volume, TF, or light direction changes)."""
+    from ovr_tpu.render import lightgrid
+
+    mcfg = ig.MarchConfig(
+        max_steps=cfg.max_steps or 1, shading=cfg.shading,
+        shadow_scale=cfg.shadow_scale,
+        shadow_max_steps=cfg.shadow_max_steps or 1)
+    leaves = (
+        _vol_repr(scene.volume), scene.tfn.color, scene.tfn.alpha,
+        scene.tfn.value_range, cfg.base_rate * jnp.ones((), cfg.dtype))
+    vol = scene.volume
+    shape = vol.grid.shape if hasattr(vol, "grid") else (128, 128, 128)
+    res = lightgrid.default_resolution(shape, cap=cfg.shadow_grid_res)
+    step = jnp.asarray(1.0 / cfg.sampling_rate, cfg.dtype)
+    return lightgrid.build_light_grid(
+        leaves, safe_normalize(scene.light.direction), vol.world_lo,
+        vol.world_hi, step, mcfg, res)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def render(scene: Scene, cfg: RenderConfig, camera: Optional[Camera] = None,
            frame_index: jnp.ndarray = 0, key: Optional[jax.Array] = None,
            macrocells: Optional[accel.MacrocellGrid] = None,
-           last_camera: Optional[Camera] = None) -> Frame:
+           last_camera: Optional[Camera] = None,
+           light_grid: Optional[jnp.ndarray] = None) -> Frame:
     """Render one frame. Pure, jitted, differentiable (when cfg.fast_math is
     False and cfg.path_tracing is False uses the scan integrator).
 
     `cfg.max_steps` must be resolved (`cfg.resolved(scene)`).
+    `light_grid`: optional precomputed shadow lattice (`build_light_grid`);
+    built inline when shadow-grid shading is enabled and none is given
+    (prefer passing one — it is camera-independent and reusable).
     """
     assert cfg.max_steps is not None, "call cfg.resolved(scene) first"
     if camera is None:
@@ -133,13 +176,20 @@ def render(scene: Scene, cfg: RenderConfig, camera: Optional[Camera] = None,
     screen = screen.reshape(-1, 2)
     n = screen.shape[0]
 
+    if light_grid is None and _wants_light_grid(cfg):
+        light_grid = build_light_grid(scene, cfg)
+    elif not _wants_light_grid(cfg):
+        light_grid = None
+
     mcfg = ig.MarchConfig(
         max_steps=cfg.max_steps,
         shading=cfg.shading,
         shadow_scale=cfg.shadow_scale,
         shadow_max_steps=cfg.shadow_max_steps or 1,
+        adaptive_scale=cfg.adaptive_scale,
+        shading_scale=cfg.shading_scale,
     )
-    ctx = _shade_ctx(scene, camera, cfg)
+    ctx = _shade_ctx(scene, camera, cfg, light_alpha=light_grid)
     leaves = (
         _vol_repr(scene.volume),
         scene.tfn.color,
@@ -155,17 +205,9 @@ def render(scene: Scene, cfg: RenderConfig, camera: Optional[Camera] = None,
     step = jnp.asarray(1.0 / cfg.sampling_rate, cfg.dtype)
     march_fn = ig.march_while if cfg.fast_math else ig.march
 
-    def one_sample(s, acc):
-        skey = jax.random.fold_in(key, s)
-        if cfg.spp > 1:
-            jit2 = jax.random.uniform(skey, (n, 2), cfg.dtype) - 0.5
-            sc = screen + jit2 / jnp.array(
-                [cfg.width, cfg.height], cfg.dtype)
-        else:
-            sc = screen
+    def ray_batch(sc, tj):
+        """Full per-ray pipeline for a batch of screen coords (C, 2)."""
         org, direction = generate_rays(camera, sc, cfg.width, cfg.height)
-        tj = (jax.random.uniform(jax.random.fold_in(skey, 7), (n,), cfg.dtype)
-              if cfg.jitter_rays else None)
         # non-volume geometry first; the volume blends over it
         # (shaders_raymarching.cu:283-311)
         if scene.geometries:
@@ -177,8 +219,8 @@ def render(scene: Scene, cfg: RenderConfig, camera: Optional[Camera] = None,
             t_bg = None
         color, grad, depth, alpha = march_fn(
             org, direction, leaves, ctx, mcfg, step,
-            occupancy=macrocells if cfg.use_macrocells else None, jitter=tj,
-            t_cap=t_bg)
+            occupancy=macrocells if cfg.use_macrocells else None,
+            jitter=tj if cfg.jitter_rays else None, t_cap=t_bg)
         if scene.geometries:
             tr = (1.0 - alpha)
             color = color + tr[..., None] * bg_rgb
@@ -188,8 +230,35 @@ def render(scene: Scene, cfg: RenderConfig, camera: Optional[Camera] = None,
             flow = blended_flow(camera, last_camera, cfg.width, cfg.height,
                                 org, direction, depth, alpha)
         else:
-            flow = jnp.zeros((n, 2), cfg.dtype)
+            flow = jnp.zeros((sc.shape[0], 2), cfg.dtype)
         color, grad, depth, alpha = ig.finalize(color, grad, depth, alpha)
+        return color, grad, depth, alpha, flow
+
+    def one_sample(s, acc):
+        skey = jax.random.fold_in(key, s)
+        if cfg.spp > 1:
+            jit2 = jax.random.uniform(skey, (n, 2), cfg.dtype) - 0.5
+            sc = screen + jit2 / jnp.array(
+                [cfg.width, cfg.height], cfg.dtype)
+        else:
+            sc = screen
+        tj = (jax.random.uniform(jax.random.fold_in(skey, 7), (n,), cfg.dtype)
+              if cfg.jitter_rays else jnp.zeros((n,), cfg.dtype))
+        if cfg.ray_chunk and n > cfg.ray_chunk:
+            # chunked march: bounds the working set and lets the fast-math
+            # early exit terminate per chunk instead of per frame
+            c = cfg.ray_chunk
+            k = -(-n // c)
+            pad = k * c - n
+            sc_p = jnp.pad(sc, ((0, pad), (0, 0)), constant_values=0.5)
+            tj_p = jnp.pad(tj, (0, pad))
+            outs = jax.lax.map(
+                lambda args: ray_batch(*args),
+                (sc_p.reshape(k, c, 2), tj_p.reshape(k, c)))
+            color, grad, depth, alpha, flow = (
+                o.reshape((k * c,) + o.shape[2:])[:n] for o in outs)
+        else:
+            color, grad, depth, alpha, flow = ray_batch(sc, tj)
         return (acc[0] + color, acc[1] + grad, acc[2] + depth,
                 acc[3] + alpha, acc[4] + flow)
 
@@ -238,6 +307,7 @@ class Renderer:
         self._accum: Optional[Frame] = None
         self._frame: Optional[Frame] = None
         self._macrocells: Optional[accel.MacrocellGrid] = None
+        self._light_grid: Optional[jnp.ndarray] = None
         self._sparse = False
         self._focus = None
         self._accumulating = False
@@ -273,6 +343,7 @@ class Renderer:
         tfn = TransferFunction.create(color, alpha, value_range)
         self.scene = dataclasses.replace(self.scene, tfn=tfn)
         self._macrocells = None
+        self._light_grid = None
         self._reset(rejit=False)
 
     def set_sample_per_pixel(self, spp: int) -> None:
@@ -285,6 +356,7 @@ class Renderer:
         self._cfg = dataclasses.replace(
             self._cfg, sampling_rate=float(rate), max_steps=None,
             shadow_max_steps=None)
+        self._light_grid = None
         self._reset()
 
     def set_volume_density_scale(self, s: float) -> None:
@@ -337,6 +409,8 @@ class Renderer:
                 grid = bake_grid(vol, (r, r, r))
             self._macrocells = accel.build_macrocells(
                 grid, self.scene.tfn.alpha, self.scene.tfn.value_range)
+        if _wants_light_grid(self._cfg) and self._light_grid is None:
+            self._light_grid = build_light_grid(self.scene, self._cfg)
 
     def render(self) -> None:
         import time
@@ -354,7 +428,7 @@ class Renderer:
             frame = render(
                 self.scene, self._cfg, camera=self._camera,
                 frame_index=jnp.int32(self._frame_index),
-                macrocells=self._macrocells)
+                macrocells=self._macrocells, light_grid=self._light_grid)
         if self._accumulating:
             frame, self._accum = accumulate(frame, self._accum,
                                             self._frame_index)

@@ -47,6 +47,7 @@ from ovr_tpu.core.sampling import (
     intersect_box,
     opacity_correction,
     safe_normalize,
+    sample_volume,
 )
 from ovr_tpu.neural.field import sample_any_volume
 
@@ -63,6 +64,7 @@ def _vol_rdim(vol, dtype):
 SHADING_NONE = "none"
 SHADING_DIFFUSE = "diffuse"  # gradient shading, no shadow rays
 SHADING_SHADOW = "shadow"  # gradient shading + shadow march (reference default)
+SHADING_SSH = "ssh"  # single-shade heuristic (vnr SINGLE_SHADE_HEURISTIC)
 
 EARLY_EXIT_ALPHA = 0.9999  # shaders_raymarching.cu:110
 
@@ -76,6 +78,13 @@ class MarchConfig:
     shadow_scale: float = 10.0
     shadow_max_steps: int = 64
     light_intensity: float = 2.0  # light_rgb, shaders_raymarching.cu:138
+    # adaptive (majorant-scaled) sampling: step *= clip(1/majorant, 1, scale)
+    # within each macrocell — the vnr adaptive-sampling iterator
+    # (render/method_optix.cu:70-108). 1.0 = fixed-step (exact parity).
+    adaptive_scale: float = 1.0
+    # SSH deferred-shade blend weight (vnr params.scivis_shading_scale,
+    # render/method_optix.cu:168,238-244).
+    shading_scale: float = 0.8
 
 
 def _clamp01(x):
@@ -135,11 +144,16 @@ class ShadeContext:
     # (None = 1.0). Set by the bricked path so finite-difference gradients
     # flip direction only at the true volume edge, not at brick halos.
     grad_hi: Any = None
+    # Precomputed shadow-alpha lattice over object space (render.lightgrid).
+    # When present, 'shadow'/'ssh' shading does one trilinear fetch per
+    # sample instead of a full shadow march.
+    light_alpha: Any = None
 
 
 jax.tree_util.register_dataclass(
     ShadeContext,
-    data_fields=["light_dir", "wtc", "world_lo", "world_hi", "grad_hi"],
+    data_fields=["light_dir", "wtc", "world_lo", "world_hi", "grad_hi",
+                 "light_alpha"],
     meta_fields=[],
 )
 
@@ -183,9 +197,12 @@ def _march_step(carry, scene_leaves, ctx: ShadeContext, cfg: MarchConfig,
             jnp.einsum("ij,...j->...i", ctx.wtc, n_world))
         cos_nl = jnp.abs(jnp.sum(ctx.light_dir * n_world, axis=-1))
         if cfg.shading == SHADING_SHADOW:
-            shadow = _shadow_alpha(
-                grid, color_table, alpha_table, value_range, base,
-                pos, ctx.light_dir, ctx.world_lo, ctx.world_hi, step, cfg)
+            if ctx.light_alpha is not None:
+                shadow = sample_volume(ctx.light_alpha, p_obj)
+            else:
+                shadow = _shadow_alpha(
+                    grid, color_table, alpha_table, value_range, base,
+                    pos, ctx.light_dir, ctx.world_lo, ctx.world_hi, step, cfg)
         else:
             shadow = 0.0
         shade = 0.5 + 0.5 * cos_nl * cfg.light_intensity * (1.0 - shadow)
@@ -210,12 +227,25 @@ def _march_step(carry, scene_leaves, ctx: ShadeContext, cfg: MarchConfig,
     tx_next = ty
     ty_base = jnp.minimum(tx_next + step, t1)
     if occupancy is not None:
-        empty = occupancy.is_empty(p_obj)
+        maj = occupancy.majorant_at(p_obj)
+        empty = maj <= 1.19e-7
         t_exit = occupancy.cell_exit_t(org, direction, mid,
                                        ctx.world_lo, ctx.world_hi)
         skip_to = jnp.maximum(t_exit, tx_next)
         tx_next = jnp.where(empty & active, jnp.minimum(skip_to, t1), tx_next)
-        ty_base = jnp.minimum(tx_next + step, t1)
+        if cfg.adaptive_scale > 1.0:
+            # vnr adaptive sampling (method_optix.cu:70-108): step size per
+            # macrocell scaled by 1/majorant (opacity correction keeps the
+            # integral consistent), capped at adaptive_scale. An interval may
+            # overrun its cell by at most one base step (skip_to + step), so
+            # a dense cell after a sparse one is sampled at base density
+            # from its first interval.
+            ss = step * jnp.clip(1.0 / jnp.maximum(maj, 1e-6), 1.0,
+                                 cfg.adaptive_scale)
+            ty_base = jnp.minimum(jnp.minimum(tx_next + ss, skip_to + step),
+                                  t1)
+        else:
+            ty_base = jnp.minimum(tx_next + step, t1)
     tx = jnp.where(active, tx_next, tx)
     ty = jnp.where(active, ty_base, ty)
     return (tx, ty, color, gradient, depth, alpha)
@@ -249,9 +279,33 @@ def _apply_t_cap(carry, t1, t_cap):
     return (tx, ty, c, g, d, a), t1
 
 
+def _ssh_deferred_shade(color, alpha, pk_w, pk_t, org, direction,
+                        scene_leaves, ctx: ShadeContext, cfg: MarchConfig,
+                        step):
+    """Single-shade heuristic: one shadow evaluation at the ray's
+    highest-contribution sample, blended over the unshaded composite
+    (vnr `shadeVolume_radiance`, render/method_optix.cu:218-244)."""
+    (grid, color_table, alpha_table, value_range, base) = scene_leaves
+    pos = org + pk_t[..., None] * direction
+    p_obj = _to_object(pos, ctx.world_lo, ctx.world_hi)
+    s = sample_any_volume(grid, p_obj)
+    rgb, _ = classify(color_table, alpha_table, value_range, s)
+    if ctx.light_alpha is not None:
+        sh_a = sample_volume(ctx.light_alpha, p_obj)
+    else:
+        sh_a = _shadow_alpha(grid, color_table, alpha_table, value_range,
+                             base, pos, ctx.light_dir, ctx.world_lo,
+                             ctx.world_hi, step, cfg)
+    lit = _clamp01(rgb) * (alpha * (1.0 - sh_a))[..., None]
+    w = cfg.shading_scale
+    shaded = (1.0 - w) * color + w * lit
+    return jnp.where((pk_w > 0)[..., None], shaded, color)
+
+
 def march(org, direction, scene_leaves, ctx: ShadeContext, cfg: MarchConfig,
           step, occupancy=None, jitter=None, t_cap=None):
-    """Differentiable scan-based march. Returns (color, gradient, alpha).
+    """Differentiable scan-based march. Returns (color, gradient, depth,
+    alpha) premultiplied accumulators (see `finalize`).
 
     `org`/`direction`: (N, 3) world-space rays. `scene_leaves` =
     (grid, color_table, alpha_table, value_range, base). `step`: scalar world
@@ -266,6 +320,31 @@ def march(org, direction, scene_leaves, ctx: ShadeContext, cfg: MarchConfig,
         tx = tx + jitter * step
         ty = jnp.minimum(t1, tx + step)
         carry = (tx, ty, c, g, d, a)
+
+    if cfg.shading == SHADING_SSH:
+        cfg_inner = dataclasses.replace(cfg, shading=SHADING_NONE)
+        n = org.shape[0]
+
+        def body_ssh(state, _):
+            carry, pk_w, pk_t = state
+            tx, ty = carry[0], carry[1]
+            alpha_old = carry[5]
+            mid = 0.5 * (tx + ty)
+            carry = _march_step(carry, scene_leaves, ctx, cfg_inner, org,
+                                direction, step, t1, occupancy)
+            w = carry[5] - alpha_old  # this step's contribution tr*a
+            better = w > pk_w
+            pk_w = jnp.where(better, w, pk_w)
+            pk_t = jnp.where(better, mid, pk_t)
+            return (carry, pk_w, pk_t), None
+
+        zero = jnp.zeros((n,), org.dtype)
+        (carry, pk_w, pk_t), _ = jax.lax.scan(
+            body_ssh, (carry, zero, zero), None, length=cfg.max_steps)
+        _, _, color, gradient, depth, alpha = carry
+        color = _ssh_deferred_shade(color, alpha, pk_w, pk_t, org, direction,
+                                    scene_leaves, ctx, cfg, step)
+        return color, gradient, depth, alpha
 
     def body(carry, _):
         carry = _march_step(carry, scene_leaves, ctx, cfg, org, direction,
@@ -329,19 +408,36 @@ def march_while(org, direction, scene_leaves, ctx: ShadeContext,
         ty = jnp.minimum(t1, tx + step)
         carry = (tx, ty, c, g, d, a)
 
+    ssh = cfg.shading == SHADING_SSH
+    cfg_inner = dataclasses.replace(cfg, shading=SHADING_NONE) if ssh else cfg
+    n = org.shape[0]
+    zero = jnp.zeros((n,), org.dtype)
+
     def cond(state):
-        i, (tx, ty, _, _, _, alpha) = state
+        i, (tx, ty, _, _, _, alpha), _, _ = state
         any_active = jnp.any((ty > tx) & (alpha < EARLY_EXIT_ALPHA))
         return jnp.logical_and(i < cfg.max_steps, any_active)
 
     def body(state):
-        i, carry = state
-        carry = _march_step(carry, scene_leaves, ctx, cfg, org, direction,
-                            step, t1, occupancy)
-        return (i + 1, carry)
+        i, carry, pk_w, pk_t = state
+        tx, ty = carry[0], carry[1]
+        alpha_old = carry[5]
+        mid = 0.5 * (tx + ty)
+        carry = _march_step(carry, scene_leaves, ctx, cfg_inner, org,
+                            direction, step, t1, occupancy)
+        if ssh:
+            w = carry[5] - alpha_old
+            better = w > pk_w
+            pk_w = jnp.where(better, w, pk_w)
+            pk_t = jnp.where(better, mid, pk_t)
+        return (i + 1, carry, pk_w, pk_t)
 
-    _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+    _, carry, pk_w, pk_t = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), carry, zero, zero))
     _, _, color, gradient, depth, alpha = carry
+    if ssh:
+        color = _ssh_deferred_shade(color, alpha, pk_w, pk_t, org, direction,
+                                    scene_leaves, ctx, cfg, step)
     return color, gradient, depth, alpha
 
 

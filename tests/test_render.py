@@ -125,3 +125,72 @@ def test_renderer_facade_lifecycle(small_grid):
     r.render()
     out2 = r.mapframe()
     assert np.all(np.isfinite(out2["rgba"]))
+
+
+def test_shadow_lightgrid_matches_exact_march(small_grid):
+    """Precomputed light-transmittance lattice vs the exact per-sample shadow
+    march (shaders_raymarching.cu:44-85 semantics): trilinear reconstruction
+    error only."""
+    scene = simple_scene(small_grid)
+    cam = Camera.create(from_=(0.5, 0.5, -1.5), at=(0.5, 0.5, 0.5), fovy=45.0)
+    cfg = api.RenderConfig(width=24, height=24, spp=1, sampling_rate=24.0,
+                           shading="shadow", shadow_grid=False).resolved(scene)
+    exact = np.asarray(api.render(scene, cfg, camera=cam).rgba)
+    cfg2 = dataclasses.replace(cfg, shadow_grid=True)
+    approx = np.asarray(api.render(scene, cfg2, camera=cam).rgba)
+    assert np.abs(exact - approx).max() < 0.05
+    assert np.abs(exact - approx).mean() < 0.005
+
+
+def test_ssh_single_shade_heuristic(small_grid):
+    """vnr SINGLE_SHADE_HEURISTIC (method_optix.cu:218-244): one deferred
+    shadow at the peak-contribution sample, blended over the unshaded
+    composite."""
+    scene = simple_scene(small_grid)
+    cfg = api.RenderConfig(width=16, height=16, spp=1, sampling_rate=24.0,
+                           shading="ssh").resolved(scene)
+    f = np.asarray(api.render(scene, cfg).rgba)
+    assert np.all(np.isfinite(f))
+    cfg_none = dataclasses.replace(cfg, shading="none")
+    f_none = np.asarray(api.render(scene, cfg_none).rgba)
+    # same alpha (shading does not change opacity), different color
+    np.testing.assert_allclose(f[..., 3], f_none[..., 3], atol=1e-5)
+    assert np.abs(f[..., :3] - f_none[..., :3]).max() > 1e-3
+    # fast-math path agrees
+    cfg_fm = dataclasses.replace(cfg, fast_math=True)
+    f_fm = np.asarray(api.render(scene, cfg_fm).rgba)
+    np.testing.assert_allclose(f, f_fm, atol=1e-5)
+
+
+def test_adaptive_sampling_parity_and_skip():
+    """Majorant-scaled stepping (vnr method_optix.cu:70-108): on a mostly
+    empty volume, adaptive output stays within tolerance of fixed-step."""
+    from ovr_tpu.render import accel
+
+    n = 48
+    z, y, x = np.meshgrid(*([np.linspace(0, 1, n)] * 3), indexing="ij")
+    r2 = (x - 0.5) ** 2 + (y - 0.5) ** 2 + (z - 0.5) ** 2
+    g = np.where(r2 < 0.03, 0.9, 0.0).astype(np.float32)  # small dense blob
+    scene = simple_scene(g)
+    cam = Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5), fovy=45.0)
+    mc = accel.build_macrocells(scene.volume.grid, scene.tfn.alpha,
+                                scene.tfn.value_range)
+    cfg = api.RenderConfig(width=24, height=24, spp=1, sampling_rate=96.0,
+                           shading="none", use_macrocells=True).resolved(scene)
+    fixed = np.asarray(api.render(scene, cfg, camera=cam,
+                                  macrocells=mc).rgba)
+    cfg_ad = dataclasses.replace(cfg, adaptive_scale=8.0)
+    adap = np.asarray(api.render(scene, cfg_ad, camera=cam,
+                                 macrocells=mc).rgba)
+    assert np.abs(fixed - adap).max() < 0.06
+    assert np.abs(fixed - adap).mean() < 0.01
+
+
+def test_ray_chunk_matches_whole_frame(small_grid):
+    scene = simple_scene(small_grid)
+    cfg = api.RenderConfig(width=20, height=12, spp=1, sampling_rate=24.0,
+                           shading="diffuse").resolved(scene)
+    whole = np.asarray(api.render(scene, cfg).rgba)
+    cfg_ch = dataclasses.replace(cfg, ray_chunk=100)  # 240 rays -> 3 chunks
+    chunked = np.asarray(api.render(scene, cfg_ch).rgba)
+    np.testing.assert_allclose(whole, chunked, atol=1e-6)
