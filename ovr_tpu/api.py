@@ -282,16 +282,59 @@ def render(scene: Scene, cfg: RenderConfig, camera: Optional[Camera] = None,
     )
 
 
-def accumulate(frame: Frame, accum: Optional[Frame], frame_index) -> tuple[Frame, Frame]:
-    """Progressive accumulation (shaders_raymarching.cu:389-400).
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AccumState:
+    """Running accumulation sums (all Frame channels) + sum of squared rgba
+    for the variance quality metric (the OSPRay accumulation variance,
+    `ovr/devices/ospray/device_impl.cpp:795-810`)."""
 
-    `frame_index` is 1-based; returns (display_frame, new_accum).
-    """
+    rgba: jnp.ndarray
+    rgba_sq: jnp.ndarray
+    grad: jnp.ndarray
+    depth: Any = None
+    flow: Any = None
+
+
+def accumulate(frame: Frame, accum: Optional[AccumState], frame_index
+               ) -> tuple[Frame, AccumState]:
+    """Progressive accumulation (shaders_raymarching.cu:389-400) over every
+    frame channel. `frame_index` is 1-based; returns (display, new_accum)."""
     if accum is None or frame_index <= 1:
-        return frame, frame
-    new_accum = Frame(rgba=accum.rgba + frame.rgba, grad=accum.grad + frame.grad)
-    disp = Frame(rgba=new_accum.rgba / frame_index, grad=new_accum.grad / frame_index)
-    return disp, new_accum
+        acc = AccumState(
+            rgba=frame.rgba, rgba_sq=frame.rgba ** 2, grad=frame.grad,
+            depth=frame.depth, flow=frame.flow)
+        return frame, acc
+
+    def _add(a, b):
+        return None if (a is None or b is None) else a + b
+
+    new = AccumState(
+        rgba=accum.rgba + frame.rgba,
+        rgba_sq=accum.rgba_sq + frame.rgba ** 2,
+        grad=accum.grad + frame.grad,
+        depth=_add(accum.depth, frame.depth),
+        flow=_add(accum.flow, frame.flow))
+    k = frame_index
+
+    def _avg(a):
+        return None if a is None else a / k
+
+    disp = Frame(rgba=new.rgba / k, grad=new.grad / k,
+                 depth=_avg(new.depth), flow=_avg(new.flow))
+    return disp, new
+
+
+def variance_of(accum: Optional[AccumState], frame_index) -> float:
+    """Mean per-pixel unbiased sample variance of accumulated rgba — the
+    reference's frame-quality metric (`ospray/device_impl.cpp:795-810`,
+    `renderer.h:124-127`). inf until two frames accumulated."""
+    k = int(frame_index)
+    if accum is None or k < 2:
+        return float("inf")
+    mean = accum.rgba / k
+    var = jnp.maximum(accum.rgba_sq / k - mean ** 2, 0.0) * (k / (k - 1))
+    return float(jnp.mean(var))
 
 
 class Renderer:
@@ -304,7 +347,7 @@ class Renderer:
         self._cfg = cfg
         self._camera = scene.camera
         self._frame_index = 0
-        self._accum: Optional[Frame] = None
+        self._accum: Optional[AccumState] = None
         self._frame: Optional[Frame] = None
         self._macrocells: Optional[accel.MacrocellGrid] = None
         self._light_grid: Optional[jnp.ndarray] = None
@@ -432,6 +475,7 @@ class Renderer:
         if self._accumulating:
             frame, self._accum = accumulate(frame, self._accum,
                                             self._frame_index)
+            self.variance = variance_of(self._accum, self._frame_index)
         jax.block_until_ready(frame.rgba)
         self.render_time += time.perf_counter() - t0
         self._frame = frame
@@ -441,7 +485,12 @@ class Renderer:
 
     def mapframe(self) -> dict[str, np.ndarray]:
         assert self._frame is not None, "render() first"
-        return {
+        out = {
             "rgba": np.asarray(self._frame.rgba),
             "grad": np.asarray(self._frame.grad),
         }
+        if self._frame.depth is not None:
+            out["depth"] = np.asarray(self._frame.depth)
+        if self._frame.flow is not None:
+            out["flow"] = np.asarray(self._frame.flow)
+        return out

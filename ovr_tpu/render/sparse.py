@@ -15,9 +15,10 @@ into the previous frame's buffer, which is what the reference's accumulation
 loop does implicitly by only overwriting sampled pixels.
 
 Blue noise: the reference tiles a 128x128x64 STBN volume by frame index
-(`random/blue_noise.h`). We generate a tileable value-noise proxy procedurally
-(no binary blobs in-repo); `noise="uniform"` matches the reference's
-alternative path (`generate_mask.h:8-10`).
+(`random/blue_noise.h`). We generate a true blue-noise threshold matrix with
+void-and-cluster and derive the temporal dimension from R2 toroidal shifts
+(render.bluenoise — no binary blobs in-repo); `noise="uniform"` matches the
+reference's alternative path (`generate_mask.h:8-10`).
 """
 
 from __future__ import annotations
@@ -65,20 +66,38 @@ def keep_probability(width: int, height: int, focus: FocusParams
             + focus.base_noise)
 
 
-def _tileable_noise(key: jax.Array, frame_index) -> jnp.ndarray:
-    """A (STBN_SIZE, STBN_SIZE) noise tile varying with frame index — the
-    procedural stand-in for the embedded STBN texture."""
-    k = jax.random.fold_in(key, frame_index % STBN_FRAMES)
-    return jax.random.uniform(k, (STBN_SIZE, STBN_SIZE), jnp.float32)
+_BN_BASE = None
+
+
+def _blue_noise_base() -> jnp.ndarray:
+    """Lazily built (and disk-cached) void-and-cluster threshold matrix."""
+    global _BN_BASE
+    if _BN_BASE is None:
+        from ovr_tpu.render.bluenoise import void_and_cluster
+        _BN_BASE = jnp.asarray(void_and_cluster(STBN_SIZE))
+    return _BN_BASE
+
+
+def _stbn_tile(frame_index) -> jnp.ndarray:
+    """Frame slice of the spatio-temporal stack: the spatial blue-noise
+    pattern toroidally shifted along the R2 low-discrepancy sequence
+    (render.bluenoise). Traced-safe in frame_index."""
+    from ovr_tpu.render.bluenoise import _R2
+    base = _blue_noise_base()
+    f = jnp.asarray(frame_index, jnp.float32) % STBN_FRAMES
+    ox = jnp.floor((f * _R2[0]) % 1.0 * STBN_SIZE).astype(jnp.int32)
+    oy = jnp.floor((f * _R2[1]) % 1.0 * STBN_SIZE).astype(jnp.int32)
+    return jnp.roll(base, (oy, ox), axis=(0, 1))
 
 
 def sample_noise(key: jax.Array, width: int, height: int, frame_index,
                  noise: str = "stbn") -> jnp.ndarray:
-    """(H, W) noise in [0,1): tiled 'stbn' proxy or per-pixel 'uniform'."""
+    """(H, W) noise in [0,1): tiled spatio-temporal blue noise, or per-pixel
+    'uniform' (the reference's alternate path, generate_mask.h:8-10)."""
     if noise == "uniform":
         return jax.random.uniform(jax.random.fold_in(key, frame_index),
                                   (height, width), jnp.float32)
-    tile = _tileable_noise(key, frame_index)
+    tile = _stbn_tile(frame_index)
     ty = jnp.arange(height) % STBN_SIZE
     tx = jnp.arange(width) % STBN_SIZE
     return tile[ty[:, None], tx[None, :]]

@@ -87,3 +87,67 @@ def test_utils_timers(tmp_path, monkeypatch):
     assert "benchmarks" in log.path
     text = open(log.path).read()
     assert "frame,ms" in text and "1,2.5" in text
+
+
+def test_blue_noise_spectrum_is_blue():
+    """Void-and-cluster output must concentrate spectral energy in high
+    frequencies (the property `random/blue_noise.h` embeds a texture for)."""
+    from ovr_tpu.render.bluenoise import void_and_cluster
+    n = 32
+    bn = void_and_cluster(n, seed=1, cache=False)
+    rng = np.random.default_rng(0)
+    uni = rng.uniform(size=(n, n)).astype(np.float32)
+
+    def lowfreq_energy(img):
+        f = np.fft.fftshift(np.abs(np.fft.fft2(img - img.mean())) ** 2)
+        c = n // 2
+        y, x = np.mgrid[:n, :n]
+        r = np.hypot(y - c, x - c)
+        low = f[(r > 0) & (r < n / 8)].sum()
+        return low / f[r > 0].sum()
+    # thresholding any level is well spaced -> little low-frequency energy
+    assert lowfreq_energy(bn) < 0.5 * lowfreq_energy(uni)
+    # it's a permutation of ranks: every value distinct, uniform histogram
+    assert len(np.unique(bn)) == n * n
+
+
+def test_stbn_temporal_coverage():
+    """Consecutive sparse frames must select complementary, stable pixel
+    sets (the reference's temporal-STBN property)."""
+    from ovr_tpu.render import sparse
+
+    focus = sparse.FocusParams.create(scale=10.0, base_noise=1.0)  # uniform p
+    key = jax.random.PRNGKey(0)
+    w = h = sparse.STBN_SIZE
+    budget = (w * h) // 16
+    sets = []
+    for f in range(4):
+        idx = np.asarray(sparse.select_samples(key, w, h, focus, f, budget))
+        sets.append(set(idx.tolist()))
+    # deterministic: same frame -> same set
+    idx_again = np.asarray(sparse.select_samples(key, w, h, focus, 0, budget))
+    assert set(idx_again.tolist()) == sets[0]
+    # complementary: 4 x 1/16 budgets overlap far less than random
+    # (random overlap expectation per pair: budget/16)
+    union = set().union(*sets)
+    assert len(union) > 0.9 * 4 * budget
+
+
+def test_accumulation_variance_decreases(small_grid):
+    from ovr_tpu import api
+    from ovr_tpu.core.scene import simple_scene
+
+    scene = simple_scene(small_grid)
+    cfg = api.RenderConfig(width=8, height=8, spp=1, sampling_rate=16.0,
+                           shading="none", jitter_rays=True).resolved(scene)
+    accum = None
+    variances = []
+    for i in range(1, 6):
+        f = api.render(scene, cfg, frame_index=jnp.int32(i))
+        disp, accum = api.accumulate(f, accum, i)
+        variances.append(api.variance_of(accum, i))
+    assert variances[0] == float("inf")
+    assert np.isfinite(variances[-1])
+    assert variances[-1] <= variances[1] + 1e-6
+    # depth accumulates too (full-channel accumulation)
+    assert disp.depth is not None and np.all(np.isfinite(np.asarray(disp.depth)))
