@@ -17,6 +17,14 @@ def to_uint8(img: np.ndarray) -> np.ndarray:
     return (np.clip(img, 0.0, 1.0) * 255.99).astype(np.uint8)
 
 
+def timestamped_path(prefix: str = "screenshot", ext: str = ".png") -> str:
+    """`<prefix>-<YYYYmmdd-HHMMSS>.png` — the screenshot naming of
+    `ovr/common/vidi_screenshot.h:33-72`."""
+    import time
+
+    return f"{prefix}-{time.strftime('%Y%m%d-%H%M%S')}{ext}"
+
+
 def save_image(path: str, img: np.ndarray, flip: bool = True) -> None:
     """Save float (H, W, 3|4) (or uint8) image; PNG/JPG chosen by extension.
 
