@@ -44,8 +44,27 @@ _BUILTIN = {
 }
 
 
+# The reference's embedded colormap keys (extern/tfn/colormaps/colormap.h,
+# "available colormap keys") are namespaced matplotlib maps,
+# e.g. "diverging/BrBG", "perceptual/viridis", "sequential2/hot". All 50 are
+# regenerated from matplotlib at the same key.
+_REFERENCE_KEYS = {
+    "diverging": ["BrBG", "RdYlGn", "RdBu", "RdYlBu", "bwr", "Spectral",
+                  "RdGy", "seismic", "coolwarm", "PRGn", "PuOr", "PiYG"],
+    "perceptual": ["magma", "inferno", "viridis", "plasma"],
+    "sequential": ["Purples", "PuBuGn", "Oranges", "Blues", "YlGn", "PuBu",
+                   "GnBu", "Greens", "PuRd", "BuPu", "Greys", "YlOrBr",
+                   "RdPu", "YlOrRd", "Reds", "YlGnBu", "BuGn", "OrRd"],
+    "sequential2": ["hot", "Wistia", "gist_gray", "bone", "winter", "pink",
+                    "binary", "autumn", "spring", "gist_yarg", "copper",
+                    "gray", "afmhot", "cool", "gist_heat", "summer"],
+}
+
+
 def create_colormap(name: str, resolution: int = 256) -> np.ndarray:
     """Return a (resolution, 3) float32 RGB table for the named colormap."""
+    if "/" in name:  # namespaced reference key -> matplotlib name
+        name = name.split("/", 1)[1]
     if name in _BUILTIN:
         controls = _BUILTIN[name]
         pos = np.array([c[0] for c in controls], np.float32)
@@ -65,6 +84,8 @@ def create_colormap(name: str, resolution: int = 256) -> np.ndarray:
 
 def available_colormaps() -> list[str]:
     names = sorted(_BUILTIN)
+    names += [f"{ns}/{n}" for ns, maps in sorted(_REFERENCE_KEYS.items())
+              for n in maps]
     try:
         import matplotlib.pyplot as plt
 
