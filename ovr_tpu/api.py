@@ -46,6 +46,14 @@ class RenderConfig:
     spp: int = 1
     sampling_rate: float = 64.0  # samples per world unit; step = 1/rate
     base_rate: float = 1.0  # opacity-correction base (volume.h:128, default 1)
+    # integration method: "march" = per-ray scan integrator (general,
+    # differentiable); "shearwarp" = the dense TPU fast path
+    # (render.shearwarp; requires eligibility — raises otherwise);
+    # "auto" = shearwarp when eligible, else march.
+    method: str = "march"
+    sw_inter_cap: int = 768  # shear-warp intermediate resolution cap
+    sw_bf16: bool = False  # bfloat16 shear-warp matmuls (f32 accumulate)
+    sw: Any = None  # resolved shear-warp plan (SwStatic; set by resolved())
     shading: str = ig.SHADING_SHADOW
     shadow_scale: float = 10.0
     max_steps: Optional[int] = None  # None: derived from the scene box
@@ -70,8 +78,10 @@ class RenderConfig:
     geometry_chunk: int = 256  # triangles per Möller-Trumbore block
     dtype: Any = jnp.float32
 
-    def resolved(self, scene: Scene) -> "RenderConfig":
-        """Fill derived step counts from the scene's world box (host-side)."""
+    def resolved(self, scene: Scene, camera: Optional[Camera] = None
+                 ) -> "RenderConfig":
+        """Fill derived step counts from the scene's world box, and the
+        shear-warp plan from the camera (host-side, not jittable)."""
         lo = np.asarray(scene.volume.world_lo)
         hi = np.asarray(scene.volume.world_hi)
         diag = float(np.linalg.norm(hi - lo))
@@ -81,6 +91,22 @@ class RenderConfig:
         if self.shadow_max_steps is None:
             n = int(np.ceil(diag * self.sampling_rate / self.shadow_scale)) + 2
             updates["shadow_max_steps"] = n
+        if self.method in ("shearwarp", "auto"):
+            from ovr_tpu.render import shearwarp
+            eligible = (not self.path_tracing
+                        and self.shading in (ig.SHADING_NONE,
+                                             ig.SHADING_DIFFUSE))
+            sw = shearwarp.resolve_static(
+                scene, camera or scene.camera, self) if eligible else None
+            if sw is None and self.method == "shearwarp":
+                raise ValueError(
+                    "shearwarp ineligible for this scene/camera/config "
+                    "(needs a dense-grid volume, no geometries, shading in "
+                    "{none, diffuse}, and a perspective eye outside the "
+                    "principal slab); use method='auto' to fall back")
+            updates["sw"] = sw
+        elif self.sw is not None:
+            updates["sw"] = None
         return dataclasses.replace(self, **updates) if updates else self
 
 
@@ -171,6 +197,9 @@ def render(scene: Scene, cfg: RenderConfig, camera: Optional[Camera] = None,
     if cfg.path_tracing:
         from ovr_tpu.render import pathtracer
         return pathtracer.render_frame(scene, cfg, camera, key, macrocells)
+
+    if cfg.sw is not None:
+        return _render_shearwarp_frame(scene, cfg, camera, key, last_camera)
 
     screen = pixel_screen_coords(cfg.width, cfg.height, cfg.dtype)
     screen = screen.reshape(-1, 2)
@@ -282,6 +311,53 @@ def render(scene: Scene, cfg: RenderConfig, camera: Optional[Camera] = None,
     )
 
 
+def _render_shearwarp_frame(scene: Scene, cfg: RenderConfig, camera: Camera,
+                            key: jax.Array, last_camera) -> Frame:
+    """Shear-warp fast path: dense slice-order compositing
+    (render.shearwarp). spp > 1 stratifies the sample-plane offset (the
+    dense analogue of per-ray t-jitter); jitter_rays randomizes it."""
+    from ovr_tpu.render import shearwarp
+
+    def one(s, acc):
+        if cfg.jitter_rays:
+            off = jax.random.uniform(jax.random.fold_in(key, s), ())
+        elif cfg.spp > 1:
+            off = (s + 0.5) / cfg.spp  # stratified plane offsets
+        else:
+            off = None
+        color, grad, depth, alpha = shearwarp.render_shearwarp(
+            scene, cfg, camera, jitter=off)
+        return (acc[0] + color, acc[1] + grad, acc[2] + depth,
+                acc[3] + alpha)
+
+    n = cfg.width * cfg.height
+    zero = (jnp.zeros((n, 3), cfg.dtype), jnp.zeros((n, 3), cfg.dtype),
+            jnp.zeros((n,), cfg.dtype), jnp.zeros((n,), cfg.dtype))
+    if cfg.spp == 1:
+        acc = one(0, zero)
+    else:
+        acc = jax.lax.fori_loop(0, cfg.spp, one, zero)
+    rspp = 1.0 / cfg.spp
+    color, grad, depth, alpha = (a * rspp for a in acc)
+    if last_camera is not None:
+        screen = pixel_screen_coords(cfg.width, cfg.height,
+                                     cfg.dtype).reshape(-1, 2)
+        org, direction = generate_rays(camera, screen, cfg.width, cfg.height)
+        flow = blended_flow(camera, last_camera, cfg.width, cfg.height,
+                            org, direction, depth, alpha)
+    else:
+        flow = None
+    color, grad, depth, alpha = ig.finalize(color, grad, depth, alpha)
+    rgba = jnp.concatenate([color, alpha[..., None]], axis=-1)
+    return Frame(
+        rgba=rgba.reshape(cfg.height, cfg.width, 4),
+        grad=grad.reshape(cfg.height, cfg.width, 3),
+        depth=depth.reshape(cfg.height, cfg.width),
+        flow=(flow.reshape(cfg.height, cfg.width, 2)
+              if last_camera is not None else None),
+    )
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class AccumState:
@@ -373,7 +449,8 @@ class Renderer:
                 up if up is not None else c.up,
                 fovy=c.fovy, height=c.height, kind=c.kind)
         self._camera = camera
-        self._reset(rejit=False)
+        # shear-warp plans depend on the camera (principal axis / slab test)
+        self._reset(rejit=self._cfg.method != "march")
 
     def set_transfer_function(self, color, alpha, value_range) -> None:
         from ovr_tpu.core.scene import TransferFunction
@@ -439,7 +516,7 @@ class Renderer:
         if self._dirty:
             self._cfg = dataclasses.replace(
                 self._cfg, max_steps=None, shadow_max_steps=None
-            ).resolved(self.scene)
+            ).resolved(self.scene, self._camera)
             self._dirty = False
         if (self._cfg.use_macrocells or self._cfg.path_tracing) and \
                 self._macrocells is None:

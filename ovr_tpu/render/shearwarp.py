@@ -1,0 +1,501 @@
+"""Shear-warp volume rendering: the TPU-native fast path.
+
+The reference's hot loop marches rays independently, gathering 8 volume
+texels per sample through the GPU's texture units
+(`ovr/devices/optix7/shaders_raymarching.cu:87-171`). TPUs have no gather
+hardware — XLA serializes gathers to ~1e8/s — so a per-sample-gather march
+is ~1000x off HBM speed-of-light. This module re-factorizes the *same
+integral* so the hot loop is 100% dense (MXU matmuls + VPU elementwise),
+reading each voxel once per frame:
+
+1. Choose the volume axis most parallel to the view direction; iterate
+   sample planes perpendicular to it, front to back.
+2. Composite in an intermediate "ray fan" grid (P, Q) in which every sample
+   plane is an *axis-aligned, uniformly scaled* image of the plane's voxel
+   slice, so resampling a plane is two small interpolation-matrix matmuls
+   (the shear-warp factorization, Lacroute & Levoy '94, re-derived for MXUs
+   instead of CPU scanlines). Perspective: (P, Q) = lateral direction
+   components over the axial one (central projection); orthographic:
+   (P, Q) = the ray's lateral offsets.
+3. Per intermediate pixel, the covered world interval of each plane comes
+   from the exact ray/box intersection (dense elementwise), so the result
+   is the box-clipped Riemann sum of the same emission-absorption integral
+   the reference computes, with samples at plane centers instead of
+   per-ray lattice points. Classification, opacity correction
+   (`shaders_raymarching.cu:117-122`) and front-to-back over compositing
+   (`:160-166`) are unchanged.
+4. One final 2D warp (projective in general) maps the intermediate image to
+   the screen, decomposed into two 1D passes (Catmull-Smith) whose inverse
+   maps are closed-form rationals; each pass is a chunked batched
+   interp-matmul — still zero gathers.
+
+Diffuse (gradient) shading computes the normal densely: in-plane central
+differences on the resampled plane plus the along-ray difference between
+consecutive planes, solved for the axial derivative — the same
+finite-difference normal as `compute_volume_gradient_object_space`
+(`shaders_common.h:195-215`) up to FD stencil spacing.
+
+Limits: perspective eyes must lie outside the volume's slab along the
+chosen axis (the classic shear-warp constraint); `resolve_static` reports
+eligibility and callers fall back to the march integrator.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ovr_tpu.core.sampling import (
+    classify,
+    intersect_box,
+    opacity_correction,
+    safe_normalize,
+)
+from ovr_tpu.core.scene import ORTHOGRAPHIC
+from ovr_tpu.render.camera import camera_basis
+
+
+# ---------------------------------------------------------------------------
+# static (host-side) plan
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SwStatic:
+    """Hashable shear-warp plan (embedded in RenderConfig; jit-static)."""
+
+    axis: int  # principal world axis 0/1/2 (x/y/z)
+    sign: int  # +1: planes traversed in +axis order; -1: reversed
+    n_slices: int  # sample planes across the slab
+    inter_h: int  # intermediate (ray-fan) rows (Q)
+    inter_w: int  # intermediate cols (P)
+    swap: bool = False  # screen v (not u) pairs with P in the final warp
+    # warp maps decouple (P depends on one screen axis only, Q on the
+    # other): both passes become single shared-weight matmuls (fast path)
+    separable: bool = False
+    row_chunk: int = 16  # rows per batched-warp weight chunk
+    bf16: bool = False  # bfloat16 matmul operands (f32 accumulate)
+
+
+def _np_basis(camera, width, height):
+    """Host-side numpy copy of `camera_basis`."""
+    aspect = width / float(height)
+    d = np.asarray(camera.at, np.float64) - np.asarray(camera.from_,
+                                                       np.float64)
+    d = d / max(np.linalg.norm(d), 1e-30)
+    if camera.kind == ORTHOGRAPHIC:
+        t = float(np.asarray(camera.height))
+    else:
+        t = 2.0 * np.tan(np.deg2rad(float(np.asarray(camera.fovy))) * 0.5)
+    up = np.asarray(camera.up, np.float64)
+    h = np.cross(d, up)
+    h = t * aspect * h / max(np.linalg.norm(h), 1e-30)
+    v = np.cross(h, d) / aspect
+    return d, h, v
+
+
+def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
+    """Build the static plan, or None when shear-warp is ineligible.
+
+    Host-side numpy on concrete scene/camera values (called from
+    `RenderConfig.resolved`, never under jit).
+    """
+    vol = scene.volume
+    if not hasattr(vol, "grid") or vol.grid.ndim != 3:
+        return None  # neural fields march
+    if vol.grid.shape[0] < 2 or vol.grid.shape[1] < 2 or vol.grid.shape[2] < 2:
+        return None
+    if getattr(scene, "geometries", ()):
+        return None  # surface compositing not factorized yet
+    try:
+        d, h, v = _np_basis(camera, cfg.width, cfg.height)
+    except Exception:
+        return None
+    axis = int(np.argmax(np.abs(d)))
+    if abs(d[axis]) < 1e-6:
+        return None
+    sign = 1 if d[axis] >= 0 else -1
+    lo = float(np.asarray(vol.world_lo)[axis])
+    hi = float(np.asarray(vol.world_hi)[axis])
+    if camera.kind != ORTHOGRAPHIC:
+        e = float(np.asarray(camera.from_)[axis])
+        if lo - 1e-6 <= e <= hi + 1e-6:
+            return None  # eye inside the slab: classic shear-warp limit
+    perp = [w for w in (0, 1, 2) if w != axis]
+    w1 = perp[0]
+    w2 = perp[1]
+    # pair intermediate P (along w1) with whichever screen axis moves it most
+    swap = bool(abs(h[w1]) < abs(v[w1]))
+    # the warp pass inverts cp along the paired screen axis: require motion
+    mot = abs(v[w1]) if swap else abs(h[w1])
+    oth = abs(h[w2]) if swap else abs(v[w2])
+    if mot < 1e-9 or oth < 1e-9:
+        return None  # degenerate pairing (screen axis parallel to axis)
+    # separable: P varies along exactly one screen axis and Q along the
+    # other (and, for perspective, the denominator is screen-constant)
+    eps = 1e-6 * (np.linalg.norm(h) + np.linalg.norm(v))
+    cross = (abs(v[w1]), abs(h[w2])) if not swap else (abs(h[w1]),
+                                                       abs(v[w2]))
+    axial = (abs(h[axis]), abs(v[axis]))
+    separable = bool(max(*cross, *axial) < eps)
+    ext = np.asarray(vol.world_hi, np.float64) - np.asarray(
+        vol.world_lo, np.float64)
+    n_slices = max(4, int(round(float(ext[axis]) * cfg.sampling_rate)))
+    zyx = vol.grid.shape
+    dims_xyz = (zyx[2], zyx[1], zyx[0])
+    cap = int(cfg.sw_inter_cap)
+    rnd = lambda x: int(-(-x // 8) * 8)
+    wi = rnd(min(cap, max(64, 2 * dims_xyz[perp[0]])))
+    hi_i = rnd(min(cap, max(64, 2 * dims_xyz[perp[1]])))
+    return SwStatic(axis=axis, sign=sign, n_slices=n_slices,
+                    inter_h=hi_i, inter_w=wi, swap=swap,
+                    separable=separable, bf16=bool(cfg.sw_bf16))
+
+
+# ---------------------------------------------------------------------------
+# dense building blocks
+# ---------------------------------------------------------------------------
+
+def _interp_matrix(src_pos: jnp.ndarray, n_in: int) -> jnp.ndarray:
+    """(O, I) linear-interpolation weights: row o holds the two bilinear
+    weights for continuous source index src_pos[o], clamp-addressed."""
+    p = jnp.clip(src_pos, 0.0, n_in - 1.0)
+    i = jnp.arange(n_in, dtype=src_pos.dtype)[None, :]
+    return jnp.maximum(0.0, 1.0 - jnp.abs(p[:, None] - i))
+
+
+def _mm(a: jnp.ndarray, b: jnp.ndarray, bf16: bool) -> jnp.ndarray:
+    """2D matmul with optional bfloat16 operands, f32 accumulation."""
+    if bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def warp_rows(img: jnp.ndarray, pos: jnp.ndarray, row_chunk: int = 16,
+              bf16: bool = False) -> jnp.ndarray:
+    """Resample each row r of img (R, I, C) at continuous column positions
+    pos (R, O) -> (R, O, C). Batched interp-matmuls in row chunks so the
+    (chunk, O, I) weight tensor stays small; no gathers."""
+    r, n_in, ch = img.shape
+    out_w = pos.shape[1]
+    dt = img.dtype
+    pad_r = (-r) % row_chunk
+    if pad_r:
+        img = jnp.pad(img, ((0, pad_r), (0, 0), (0, 0)))
+        pos = jnp.pad(pos, ((0, pad_r), (0, 0)))
+    k = img.shape[0] // row_chunk
+    img_c = img.reshape(k, row_chunk, n_in, ch)
+    pos_c = pos.reshape(k, row_chunk, out_w)
+    i = jnp.arange(n_in, dtype=dt)
+
+    def body(carry, xs):
+        im, po = xs
+        p = jnp.clip(po, 0.0, n_in - 1.0)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(p[..., None] - i))  # (rc, O, I)
+        if bf16:
+            w = w.astype(jnp.bfloat16)
+            im = im.astype(jnp.bfloat16)
+        out = jnp.einsum("roi,ric->roc", w, im,
+                         preferred_element_type=jnp.float32)
+        return carry, out.astype(dt)
+
+    _, outs = jax.lax.scan(body, None, (img_c, pos_c))
+    return outs.reshape(k * row_chunk, out_w, ch)[:r]
+
+
+def warp_separable(img: jnp.ndarray, row_pos: jnp.ndarray,
+                   col_pos: jnp.ndarray, bf16: bool = False) -> jnp.ndarray:
+    """out[v, u, c] = img[row_pos[v], col_pos[u], c] (bilinear): two single
+    shared-weight matmuls — the full-MXU fast path for separable warps."""
+    hi_i, wi_i, ch = img.shape
+    h, w = row_pos.shape[0], col_pos.shape[0]
+    dt = img.dtype
+    wq = _interp_matrix(row_pos.astype(dt), hi_i)  # (H, Hi)
+    wp = _interp_matrix(col_pos.astype(dt), wi_i)  # (W, Wi)
+    t = _mm(wq, img.reshape(hi_i, wi_i * ch), bf16).reshape(h, wi_i, ch)
+    t2 = jnp.transpose(t, (0, 2, 1)).reshape(h * ch, wi_i)
+    out = _mm(t2, wp.T, bf16).reshape(h, ch, w)
+    return jnp.transpose(out, (0, 2, 1)).astype(dt)
+
+
+def _perp_axes(axis: int) -> tuple[int, int]:
+    p = [w for w in (0, 1, 2) if w != axis]
+    return p[0], p[1]
+
+
+def _volume_view(grid: jnp.ndarray, axis: int, sign: int) -> jnp.ndarray:
+    """Permute (Z, Y, X) so dim0 = principal axis in traversal order,
+    dim1 = rows = perp[1], dim2 = cols = perp[0]."""
+    w1, w2 = _perp_axes(axis)
+    g = jnp.transpose(grid, (2 - axis, 2 - w2, 2 - w1))
+    if sign < 0:
+        g = g[::-1]
+    return g
+
+
+def _safe_div(a, b, eps=1e-9):
+    d = jnp.where(jnp.abs(b) < eps, jnp.where(b < 0, -eps, eps), b)
+    return a / d
+
+
+# ---------------------------------------------------------------------------
+# the renderer
+# ---------------------------------------------------------------------------
+
+def render_shearwarp(scene, cfg, camera, jitter=None):
+    """Render one frame. Returns premultiplied (color (N,3), grad (N,3),
+    depth (N,), alpha (N,)) flat screen buffers, matching the march
+    integrators' contract (finalize with `integrator.finalize`).
+
+    `jitter`: optional scalar in [0,1) shifting every sample plane by that
+    fraction of the plane spacing (the dense analogue of per-ray t-jitter,
+    `OVR_OPTIX7_JITTER_RAYS`); default 0.5 = plane centers.
+    """
+    sw: SwStatic = cfg.sw
+    assert sw is not None, "cfg.sw unresolved; call cfg.resolved(scene)"
+    dt = cfg.dtype
+    vol = scene.volume
+    axis, sign = sw.axis, sw.sign
+    w1, w2 = _perp_axes(axis)
+    ortho = camera.kind == ORTHOGRAPHIC
+
+    grid = _volume_view(vol.grid, axis, sign)  # (A, Nr, Nc)
+    n_a, n_r, n_c = grid.shape
+    lo = vol.world_lo
+    hi = vol.world_hi
+    ext = hi - lo
+    e, direction, horizontal, vertical = camera_basis(
+        camera, cfg.width, cfg.height)
+
+    # ---- screen ray-fan coordinates --------------------------------------
+    u = (jnp.arange(cfg.width, dtype=dt) + 0.5) / cfg.width - 0.5
+    v = (jnp.arange(cfg.height, dtype=dt) + 0.5) / cfg.height - 0.5
+    uu, vv = jnp.meshgrid(u, v, indexing="xy")  # (H, W)
+
+    if ortho:
+        # lateral world offsets of each ray's origin (affine in u, v)
+        p_scr = e[w1] + uu * horizontal[w1] + vv * vertical[w1]
+        q_scr = e[w2] + uu * horizontal[w2] + vv * vertical[w2]
+    else:
+        dw = (direction[None, None, :] + uu[..., None] * horizontal
+              + vv[..., None] * vertical)  # (H, W, 3) unnormalized
+        da = dw[..., axis] * sign
+        p_scr = _safe_div(dw[..., w1], da)
+        q_scr = _safe_div(dw[..., w2], da)
+
+    def _rng(x):
+        m = 0.01 * (jnp.max(x) - jnp.min(x)) + 1e-6
+        return jnp.min(x) - m, jnp.max(x) + m
+
+    p_lo, p_hi = _rng(p_scr)
+    q_lo, q_hi = _rng(q_scr)
+    hi_i, wi_i = sw.inter_h, sw.inter_w
+    dp = (p_hi - p_lo) / wi_i
+    dq = (q_hi - q_lo) / hi_i
+    pg = p_lo + (jnp.arange(wi_i, dtype=dt) + 0.5) * dp
+    qg = q_lo + (jnp.arange(hi_i, dtype=dt) + 0.5) * dq
+    pp = jnp.broadcast_to(pg[None, :], (hi_i, wi_i))
+    qq = jnp.broadcast_to(qg[:, None], (hi_i, wi_i))
+
+    # ---- per-pixel box interval (dense slab test) ------------------------
+    if ortho:
+        dvec = jnp.stack(
+            [direction[0], direction[1], direction[2]]
+        ) * jnp.ones((hi_i, wi_i, 1), dt)
+        ovec = jnp.zeros((hi_i, wi_i, 3), dt)
+        ovec = ovec.at[..., w1].set(pp)
+        ovec = ovec.at[..., w2].set(qq)
+        ovec = ovec.at[..., axis].set(e[axis])
+        speed = jnp.ones((hi_i, wi_i), dt)  # ray parameter is arc length
+        dlam = 1.0 / jnp.maximum(jnp.abs(direction[axis]), 1e-12)
+        k1_map = jnp.full((hi_i, wi_i), direction[w1], dt)
+        k2_map = jnp.full((hi_i, wi_i), direction[w2], dt)
+        inv_da = 1.0 / jnp.where(jnp.abs(direction[axis]) < 1e-12, 1e-12,
+                                 direction[axis])
+    else:
+        dvec = jnp.zeros((hi_i, wi_i, 3), dt)
+        dvec = dvec.at[..., w1].set(pp)
+        dvec = dvec.at[..., w2].set(qq)
+        dvec = dvec.at[..., axis].set(jnp.asarray(float(sign), dt))
+        ovec = jnp.broadcast_to(e, (hi_i, wi_i, 3))
+        speed = jnp.sqrt(pp * pp + qq * qq + 1.0)  # |d| per unit lambda
+        dlam = 1.0
+        k1_map = pp
+        k2_map = qq
+        inv_da = jnp.asarray(float(sign), dt)
+
+    zero = jnp.zeros((hi_i, wi_i), dt)
+    big = jnp.full((hi_i, wi_i), 3.4e38, dt)
+    l_in, l_out = intersect_box(ovec, dvec, lo, hi, zero, big)
+    l_out = jnp.maximum(l_out, l_in)
+
+    # ---- sample-plane schedule -------------------------------------------
+    n_s = sw.n_slices
+    dz = ext[axis] / n_s  # world spacing between planes
+    jj = jnp.arange(n_s, dtype=dt)
+    off = jnp.asarray(0.5 if jitter is None else jitter, dt)
+    z_rel = (jj + off) * dz  # depth into the slab along traversal
+    z_abs = jnp.where(sign > 0, lo[axis] + z_rel, hi[axis] - z_rel)
+    if ortho:
+        lam = (z_abs - e[axis]) / direction[axis]
+    else:
+        lam = (z_abs - e[axis]) * sign
+    c = jnp.clip(z_rel / ext[axis] * n_a - 0.5, 0.0, n_a - 1.0)
+    k0 = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, n_a - 2)
+    fz = (c - k0.astype(dt)).astype(dt)
+
+    lo1, lo2 = lo[w1], lo[w2]
+    ex1, ex2 = ext[w1], ext[w2]
+
+    tables = (scene.tfn.color, scene.tfn.alpha, scene.tfn.value_range)
+    base = cfg.base_rate * jnp.ones((), dt)
+    diffuse = cfg.shading != "none"
+    light_dir = safe_normalize(scene.light.direction)
+    x_cam = safe_normalize(horizontal)
+    y_cam = safe_normalize(vertical)
+    wtc = jnp.stack([x_cam, y_cam, -direction])  # world->camera rows
+    intensity = 2.0  # light_rgb, shaders_raymarching.cu:138
+    half = 0.5 * dz * dlam  # half plane interval in ray-parameter units
+
+    def body(carry, xs):
+        color, grad, depth, trans, prev_s = carry
+        j_idx, lam_j, k0_j, fz_j = xs
+        sl = jax.lax.dynamic_slice(grid, (k0_j, 0, 0), (2, n_r, n_c))
+        plane = sl[0] * (1.0 - fz_j) + sl[1] * fz_j  # (Nr, Nc)
+
+        # world coords of intermediate pixels on this plane (affine in P, Q)
+        if ortho:
+            x1 = pg + direction[w1] * lam_j
+            x2 = qg + direction[w2] * lam_j
+        else:
+            x1 = e[w1] + pg * lam_j
+            x2 = e[w2] + qg * lam_j
+        vc = (x1 - lo1) / ex1 * n_c - 0.5
+        vr = (x2 - lo2) / ex2 * n_r - 0.5
+        wc = _interp_matrix(vc, n_c)  # (Wi, Nc)
+        wr = _interp_matrix(vr, n_r)  # (Hi, Nr)
+        smp = _mm(_mm(wr, plane, sw.bf16), wc.T, sw.bf16).astype(dt)
+
+        # exact covered interval of this plane along the ray, box-clipped
+        seg_lo = jnp.maximum(lam_j - half, l_in)
+        seg_hi = jnp.minimum(lam_j + half, l_out)
+        dt_w = jnp.maximum(seg_hi - seg_lo, 0.0) * speed
+
+        rgb, a = classify(tables[0], tables[1], tables[2], smp)
+        a = jnp.where(dt_w > 0, opacity_correction(a, base, dt_w), 0.0)
+
+        if diffuse:
+            sp1 = jnp.roll(smp, -1, 1) - jnp.roll(smp, 1, 1)
+            sp2 = jnp.roll(smp, -1, 0) - jnp.roll(smp, 1, 0)
+            if ortho:
+                g1 = sp1 / (2.0 * dp)
+                g2 = sp2 / (2.0 * dq)
+            else:
+                s_l = jnp.where(jnp.abs(lam_j) < 1e-6, 1e-6, lam_j)
+                g1 = sp1 / (2.0 * dp * s_l)
+                g2 = sp2 / (2.0 * dq * s_l)
+            ds = jnp.where(j_idx > 0, (smp - prev_s) / (dz * dlam), 0.0)
+            g_a = (ds - g1 * k1_map - g2 * k2_map) * inv_da
+            g = jnp.zeros((hi_i, wi_i, 3), dt)
+            g = g.at[..., w1].set(g1)
+            g = g.at[..., w2].set(g2)
+            g = g.at[..., axis].set(g_a)
+            n_world = safe_normalize(-g)
+            n_cam = safe_normalize(jnp.einsum("ij,...j->...i", wtc, n_world))
+            cos_nl = jnp.abs(jnp.sum(light_dir * n_world, axis=-1))
+            shade = 0.5 + 0.5 * cos_nl * intensity
+            rgb = rgb * shade[..., None]
+        else:
+            n_cam = jnp.zeros((hi_i, wi_i, 3), dt)
+
+        aw = (trans * a)[..., None]
+        color = color + aw * jnp.clip(rgb, 0.0, 1.0)
+        grad = grad + aw * jnp.clip(n_cam, 0.0, 1.0)
+        depth = depth + aw[..., 0] * (lam_j * speed)
+        trans = trans * (1.0 - a)
+        return (color, grad, depth, trans, smp), None
+
+    z3 = jnp.zeros((hi_i, wi_i, 3), dt)
+    z1 = jnp.zeros((hi_i, wi_i), dt)
+    (color, grad, depth, trans, _), _ = jax.lax.scan(
+        body, (z3, z3, z1, jnp.ones((hi_i, wi_i), dt), z1),
+        (jnp.arange(n_s, dtype=jnp.int32), lam, k0, fz))
+    alpha = 1.0 - trans
+
+    # ---- final warp: intermediate (Q, P) -> screen (v, u) ----------------
+    # O[v, u] = stack[cq(u, v), cp(u, v)], exact two-pass decomposition:
+    #   T[s, pi] = stack[cq(t*(pi, s), s), pi]   (t* inverts P along the
+    #     screen axis paired with P: u normally, v when sw.swap)
+    #   O[v, u] = T[row_of(v,u), cp(u, v)]
+    # Substituting pi = cp(t, s) gives t*(cp, s) = t, so the composition
+    # reproduces stack[cq, cp]. Both inverse maps are closed-form rationals
+    # of the camera basis — dense elementwise, no gathers anywhere.
+    stack = jnp.concatenate(
+        [color, grad, depth[..., None], alpha[..., None]], axis=-1)
+    cp = (p_scr - p_lo) / dp - 0.5  # (H, W) continuous col index
+    q_to_row = lambda q: (q - q_lo) / dq - 0.5
+
+    def q_at(us, vs):
+        """Q value of the ray at screen params (us, vs), broadcastable."""
+        if ortho:
+            return e[w2] + us * horizontal[w2] + vs * vertical[w2]
+        num = direction[w2] + us * horizontal[w2] + vs * vertical[w2]
+        den = (direction[axis] + us * horizontal[axis]
+               + vs * vertical[axis]) * sign
+        return _safe_div(num, den)
+
+    if sw.separable:
+        # P varies only along one screen axis and Q only along the other:
+        # both passes collapse to shared-weight matmuls (full MXU shapes)
+        cq = q_to_row(q_scr)
+        if not sw.swap:
+            out = warp_separable(stack, cq[:, 0], cp[0, :], bf16=sw.bf16)
+        else:
+            a = warp_separable(stack, cq[0, :], cp[:, 0], bf16=sw.bf16)
+            out = jnp.transpose(a, (1, 0, 2))  # (W, H, C) -> (H, W, C)
+    elif not sw.swap:
+        # u*(pi, v): solve P(u, v) = pi for u, per screen row
+        vs = v[:, None]  # (H, 1)
+        pi = pg[None, :]  # (1, Wi)
+        if ortho:
+            us = _safe_div(pi - e[w1] - vs * vertical[w1], horizontal[w1])
+        else:
+            num = (pi * (direction[axis] + vs * vertical[axis]) * sign
+                   - direction[w1] - vs * vertical[w1])
+            den = horizontal[w1] - pi * horizontal[axis] * sign
+            us = _safe_div(num, den)
+        r1 = q_to_row(q_at(us, vs))  # (H, Wi) row index per (v, pi)
+        # pass 1: per intermediate column, resample rows at r1
+        t = warp_rows(jnp.transpose(stack, (1, 0, 2)), r1.T,
+                      row_chunk=sw.row_chunk, bf16=sw.bf16)  # (Wi, H, C)
+        t = jnp.transpose(t, (1, 0, 2))  # (H, Wi, C)
+        out = warp_rows(t, cp, row_chunk=sw.row_chunk,
+                        bf16=sw.bf16)  # (H, W, C)
+    else:
+        # v*(pi, u): solve P(u, v) = pi for v, per screen column
+        us = u[None, :]  # (1, W)
+        pi = pg[:, None]  # (Wi, 1)
+        if ortho:
+            vs = _safe_div(pi - e[w1] - us * horizontal[w1], vertical[w1])
+        else:
+            num = (pi * (direction[axis] + us * horizontal[axis]) * sign
+                   - direction[w1] - us * horizontal[w1])
+            den = vertical[w1] - pi * vertical[axis] * sign
+            vs = _safe_div(num, den)
+        r1 = q_to_row(q_at(us, vs))  # (Wi, W)
+        t = warp_rows(jnp.transpose(stack, (1, 0, 2)), r1,
+                      row_chunk=sw.row_chunk, bf16=sw.bf16)  # (Wi, W, C)
+        t = jnp.transpose(t, (1, 0, 2))  # (W, Wi, C)
+        out = warp_rows(t, cp.T, row_chunk=sw.row_chunk,
+                        bf16=sw.bf16)  # (W, H, C)
+        out = jnp.transpose(out, (1, 0, 2))  # (H, W, C)
+
+    color = out[..., 0:3].reshape(-1, 3)
+    grad = out[..., 3:6].reshape(-1, 3)
+    depth = out[..., 6].reshape(-1)
+    alpha = jnp.clip(out[..., 7], 0.0, 1.0).reshape(-1)
+    return color, grad, depth, alpha

@@ -1,0 +1,189 @@
+"""Shear-warp fast path vs the march oracle.
+
+The shear-warp renderer (render.shearwarp) computes the same box-clipped
+emission-absorption integral as the march integrator, with samples at
+axis-aligned plane centers instead of per-ray lattice points, so interiors
+must agree to quadrature error while the 1-pixel silhouette ring may differ
+(resampled edges vs per-ray box tests). Comparisons are therefore on
+premultiplied color over an eroded footprint.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ovr_tpu import api
+from ovr_tpu.core.scene import Camera, simple_scene
+from ovr_tpu.render import shearwarp
+
+
+def _scene(small_grid, cam):
+    scene = simple_scene(small_grid)
+    return dataclasses.replace(scene, camera=cam)
+
+
+def _render_pair(scene, w=48, h=40, rate=48.0, shading="none", **kw):
+    cfg_m = api.RenderConfig(width=w, height=h, spp=1, sampling_rate=rate,
+                             shading=shading, **kw).resolved(scene)
+    cfg_s = dataclasses.replace(cfg_m, method="shearwarp").resolved(scene)
+    assert cfg_s.sw is not None
+    fm = api.render(scene, cfg_m)
+    fs = api.render(scene, cfg_s)
+    return fm, fs
+
+
+def _premult(frame):
+    rgba = np.asarray(frame.rgba)
+    return rgba[..., :3] * rgba[..., 3:4], rgba[..., 3]
+
+
+def _interior_mask(alpha, pad=2, thresh=0.01):
+    ys, xs = np.nonzero(alpha > thresh)
+    m = np.zeros_like(alpha, bool)
+    if len(ys):
+        m[ys.min() + pad:ys.max() - pad + 1,
+          xs.min() + pad:xs.max() - pad + 1] = True
+    return m
+
+
+def _assert_parity(fm, fs, tol=0.05, depth_tol=0.12):
+    pm, am = _premult(fm)
+    ps, as_ = _premult(fs)
+    interior = _interior_mask(am)
+    assert interior.sum() > 50, "test scene footprint too small"
+    assert np.abs(pm - ps).max(-1)[interior].max() < tol
+    assert np.abs(am - as_)[interior].max() < tol
+    dm = np.asarray(fm.depth) * am
+    dsw = np.asarray(fs.depth) * as_
+    assert np.abs(dm - dsw)[interior].max() < depth_tol
+
+
+class TestParity:
+    def test_perspective_z(self, small_grid):
+        cam = Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5),
+                            fovy=45.0)
+        fm, fs = _render_pair(_scene(small_grid, cam))
+        _assert_parity(fm, fs)
+
+    def test_perspective_other_axes_and_signs(self, small_grid):
+        for from_, up in [((2.3, 0.5, 0.5), (0, 1, 0)),
+                          ((-1.3, 0.4, 0.6), (0, 1, 0)),
+                          ((0.5, 2.3, 0.5), (0, 0, 1)),
+                          ((0.4, 0.6, 2.3), (0, 1, 0))]:
+            cam = Camera.create(from_=from_, at=(0.5, 0.5, 0.5), up=up,
+                                fovy=45.0)
+            fm, fs = _render_pair(_scene(small_grid, cam))
+            _assert_parity(fm, fs)
+
+    def test_orthographic(self, small_grid):
+        cam = Camera.create(from_=(0.5, 0.5, -2.0), at=(0.5, 0.5, 0.5),
+                            height=1.4, kind="orthographic")
+        fm, fs = _render_pair(_scene(small_grid, cam))
+        _assert_parity(fm, fs)
+
+    def test_oblique_view(self, small_grid):
+        """Off-axis view exercises the projective warp cross-terms."""
+        cam = Camera.create(from_=(1.2, 1.1, -1.5), at=(0.5, 0.5, 0.5),
+                            fovy=40.0)
+        fm, fs = _render_pair(_scene(small_grid, cam))
+        _assert_parity(fm, fs, tol=0.06, depth_tol=0.08)
+
+    def test_rolled_camera_swap(self, small_grid):
+        """90-degree roll pairs P with screen v (sw.swap)."""
+        cam = Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5),
+                            up=(1.0, 0.0, 0.0), fovy=45.0)
+        scene = _scene(small_grid, cam)
+        cfg = api.RenderConfig(width=48, height=40, sampling_rate=48.0,
+                               shading="none",
+                               method="shearwarp").resolved(scene)
+        assert cfg.sw.swap
+        fm, fs = _render_pair(scene)
+        _assert_parity(fm, fs, tol=0.06)
+
+    def test_diffuse_shading(self, small_grid):
+        cam = Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5),
+                            fovy=45.0)
+        fm, fs = _render_pair(_scene(small_grid, cam), shading="diffuse")
+        # FD stencils differ (voxel-step vs plane/pixel-step); compare
+        # loosely on premultiplied color and exactly on finiteness
+        pm, am = _premult(fm)
+        ps, _ = _premult(fs)
+        interior = _interior_mask(am)
+        assert np.isfinite(np.asarray(fs.rgba)).all()
+        assert np.isfinite(np.asarray(fs.grad)).all()
+        err = np.abs(pm - ps).max(-1)[interior]
+        assert np.quantile(err, 0.95) < 0.08
+        g = np.asarray(fs.grad)
+        assert g.min() >= 0.0 and g.max() <= 1.0 + 1e-5
+
+    def test_empty_rays_are_transparent(self, small_grid):
+        cam = Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5),
+                            fovy=120.0)  # wide: corners miss the box
+        _, fs = _render_pair(_scene(small_grid, cam))
+        a = np.asarray(fs.rgba)[..., 3]
+        assert a[0, 0] < 1e-3 and a[-1, -1] < 1e-3
+
+
+class TestEligibility:
+    def test_eye_inside_slab_falls_back(self, small_grid):
+        cam = Camera.create(from_=(0.5, 0.5, 0.5), at=(0.9, 0.5, 0.5))
+        scene = _scene(small_grid, cam)
+        cfg = api.RenderConfig(method="auto", shading="none").resolved(scene)
+        assert cfg.sw is None  # auto falls back to march
+        with pytest.raises(ValueError):
+            api.RenderConfig(method="shearwarp",
+                             shading="none").resolved(scene)
+
+    def test_shadow_shading_falls_back(self, small_grid):
+        cam = Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5))
+        scene = _scene(small_grid, cam)
+        cfg = api.RenderConfig(method="auto", shading="shadow"
+                               ).resolved(scene)
+        assert cfg.sw is None
+
+    def test_auto_picks_shearwarp_when_eligible(self, small_grid):
+        cam = Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5))
+        scene = _scene(small_grid, cam)
+        cfg = api.RenderConfig(method="auto", shading="diffuse"
+                               ).resolved(scene)
+        assert cfg.sw is not None
+
+
+class TestFeatures:
+    def test_spp_stratification(self, small_grid):
+        cam = Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5))
+        scene = _scene(small_grid, cam)
+        cfg = api.RenderConfig(width=32, height=32, spp=4, sampling_rate=24.0,
+                               shading="none",
+                               method="shearwarp").resolved(scene)
+        f = api.render(scene, cfg)
+        assert np.isfinite(np.asarray(f.rgba)).all()
+
+    def test_flow_channel(self, small_grid):
+        cam = Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5))
+        cam2 = Camera.create(from_=(0.6, 0.5, -1.8), at=(0.5, 0.5, 0.5))
+        scene = _scene(small_grid, cam)
+        cfg = api.RenderConfig(width=32, height=32, sampling_rate=24.0,
+                               shading="none",
+                               method="shearwarp").resolved(scene)
+        f = api.render(scene, cfg, last_camera=cam2)
+        assert f.flow is not None
+        assert np.isfinite(np.asarray(f.flow)).all()
+
+    def test_warp_rows_identity(self):
+        img = jnp.asarray(np.random.default_rng(0).random((5, 16, 2)),
+                          jnp.float32)
+        pos = jnp.broadcast_to(jnp.arange(16, dtype=jnp.float32), (5, 16))
+        out = shearwarp.warp_rows(img, pos, row_chunk=4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img),
+                                   atol=1e-6)
+
+    def test_warp_rows_linear_interp(self):
+        img = jnp.arange(8, dtype=jnp.float32).reshape(1, 8, 1)
+        pos = jnp.asarray([[2.5, 0.25]], jnp.float32)
+        out = shearwarp.warp_rows(img, pos, row_chunk=1)
+        np.testing.assert_allclose(np.asarray(out).ravel(), [2.5, 0.25],
+                                   atol=1e-6)
