@@ -71,6 +71,17 @@ def orbit_camera(camera: Camera, t: float) -> Camera:
 
 
 def main(argv=None) -> None:
+    import os
+
+    import jax
+
+    # honor JAX_PLATFORMS even when a platform plugin swallows the env var
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except RuntimeError:
+            pass  # backend already initialized
     args = parse_args(argv)
     scene = create_scene(args.scene)
     camera = scene.camera

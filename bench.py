@@ -33,6 +33,12 @@ def build_scene(n: int = 256):
 def main() -> None:
     import jax
 
+    # honor JAX_PLATFORMS even when a platform plugin (axon) swallows the
+    # env var: the config route always wins if applied before backend init
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     from ovr_tpu import api
 
     grid_n = int(os.environ.get("BENCH_GRID", 256))
@@ -42,12 +48,13 @@ def main() -> None:
     frames = int(os.environ.get("BENCH_FRAMES", 25))
     warmup = int(os.environ.get("BENCH_WARMUP", 5))
     shading = os.environ.get("BENCH_SHADING", "diffuse")
+    method = os.environ.get("BENCH_METHOD", "auto")
 
     scene = build_scene(grid_n)
     scene = jax.device_put(scene)
     cfg = api.RenderConfig(
         width=width, height=height, spp=1, sampling_rate=rate,
-        shading=shading, fast_math=True, use_macrocells=True,
+        shading=shading, fast_math=True, use_macrocells=True, method=method,
     ).resolved(scene)
 
     from ovr_tpu.render import accel
@@ -55,14 +62,24 @@ def main() -> None:
                                 scene.tfn.value_range)
     mc = jax.device_put(mc)
 
-    def frame(i):
-        return api.render(scene, cfg, frame_index=i, macrocells=mc)
+    def frame(i, chain):
+        # Chain each frame on the previous frame's output through a live
+        # scene input: the runtime dedups repeated executions with
+        # identical used operands, which would otherwise turn a fixed
+        # camera/TF benchmark into a dispatch-latency benchmark.
+        tfn = dataclasses.replace(scene.tfn, alpha=scene.tfn.alpha + chain)
+        sc = dataclasses.replace(scene, tfn=tfn)
+        return api.render(sc, cfg, frame_index=i, macrocells=mc)
 
+    import jax.numpy as jnp
+    chain = jnp.float32(0)
     for i in range(warmup):
-        jax.block_until_ready(frame(i).rgba)
+        chain = jax.block_until_ready(
+            frame(i, chain).rgba).mean().astype(jnp.float32) * 1e-9
     t0 = time.perf_counter()
     for i in range(frames):
-        jax.block_until_ready(frame(i).rgba)
+        chain = frame(i, chain).rgba.mean().astype(jnp.float32) * 1e-9
+    jax.block_until_ready(chain)
     dt = time.perf_counter() - t0
 
     rays = width * height * cfg.spp * frames
@@ -72,7 +89,8 @@ def main() -> None:
     # exact config on this platform* (the reference publishes no numbers,
     # BASELINE.md); the first run of a config writes its own baseline.
     platform = jax.devices()[0].platform
-    cfg_key = f"{platform}-{grid_n}-{width}x{height}-{rate}-{shading}"
+    cfg_key = (f"{platform}-{grid_n}-{width}x{height}-{rate}-{shading}"
+               f"-{method}")
     baseline_path = os.path.join(os.path.dirname(__file__),
                                  "BASELINE_SELF.json")
     book = {}
@@ -86,9 +104,11 @@ def main() -> None:
         with open(baseline_path, "w") as f:
             json.dump(book, f, indent=2, sort_keys=True)
 
+    desc = ("shear-warp compositing" if cfg.sw is not None
+            else "march, macrocell skipping")
     print(json.dumps({
         "metric": f"forward rays/s ({grid_n}^3 grid, {width}x{height}, "
-                  f"{shading} shading, macrocell skipping)",
+                  f"{shading} shading, {desc})",
         "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": rays_per_s / base,

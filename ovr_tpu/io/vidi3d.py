@@ -152,6 +152,10 @@ def create_scene(filename: str) -> Scene:
     """Load a scene file (dispatch like `create_scene`,
     serializer_diva.cpp:13-50)."""
     ext = filename.rsplit(".", 1)[-1].lower()
+    if ext in ("usda", "usd"):
+        from ovr_tpu.io.usda import create_scene_usda
+        scene, _ = create_scene_usda(filename)
+        return scene
     if ext != "json":
         raise ValueError(f"unknown scene format: {ext}")
     with open(filename) as f:

@@ -50,8 +50,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ovr_tpu.core.sampling import (
-    classify,
     intersect_box,
+    normalize_value,
     opacity_correction,
     safe_normalize,
 )
@@ -242,6 +242,49 @@ def _safe_div(a, b, eps=1e-9):
     return a / d
 
 
+def _common_rgba_table(color_table, alpha_table):
+    """Merge the TF's color (Nc, 3) and alpha (Na,) nodal tables onto one
+    K = max(Nc, Na) grid as a (K, 4) table (exact for the denser table;
+    piecewise-linear re-noding for the other). Lets classification be a
+    single dense interp-matmul instead of four XLA gathers per pixel —
+    gathers are the TPU bottleneck (~1e8/s serialized)."""
+    nc = color_table.shape[0]
+    na = alpha_table.shape[0]
+    k = max(nc, na)
+    dt = color_table.dtype
+    xs = jnp.linspace(0.0, 1.0, k, dtype=dt)
+
+    def renode(tab):
+        n = tab.shape[0]
+        if n == k:
+            return tab if tab.ndim == 2 else tab[:, None]
+        w = _interp_matrix(xs * (n - 1), n)  # (K, n)
+        t2 = tab if tab.ndim == 2 else tab[:, None]
+        return w @ t2
+
+    return jnp.concatenate([renode(color_table), renode(alpha_table)],
+                           axis=1)  # (K, 4)
+
+
+def _classify_dense(smp, rgba_tab, value_range, bf16: bool):
+    """TF classification as one interp-matmul: smp (..., H, W) ->
+    (rgb (H, W, 3), alpha (H, W)). Same piecewise-linear nodal lookup as
+    `core.sampling.classify` (`shaders_common.h:356-367`), evaluated on the
+    MXU (weights row = the two bilinear weights of the sample's node
+    coordinate)."""
+    k = rgba_tab.shape[0]
+    v = normalize_value(smp, value_range)
+    c = jnp.clip(v * (k - 1), 0.0, k - 1.0)
+    i = jnp.arange(k, dtype=smp.dtype)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(c[..., None] - i))  # (H, W, K)
+    if bf16:
+        w = w.astype(jnp.bfloat16)
+        rgba_tab = rgba_tab.astype(jnp.bfloat16)
+    rgba = jnp.einsum("hwk,kc->hwc", w, rgba_tab,
+                      preferred_element_type=jnp.float32).astype(smp.dtype)
+    return rgba[..., :3], rgba[..., 3]
+
+
 # ---------------------------------------------------------------------------
 # the renderer
 # ---------------------------------------------------------------------------
@@ -351,7 +394,8 @@ def render_shearwarp(scene, cfg, camera, jitter=None):
     lo1, lo2 = lo[w1], lo[w2]
     ex1, ex2 = ext[w1], ext[w2]
 
-    tables = (scene.tfn.color, scene.tfn.alpha, scene.tfn.value_range)
+    rgba_tab = _common_rgba_table(scene.tfn.color, scene.tfn.alpha)
+    value_range = scene.tfn.value_range
     base = cfg.base_rate * jnp.ones((), dt)
     diffuse = cfg.shading != "none"
     light_dir = safe_normalize(scene.light.direction)
@@ -385,7 +429,7 @@ def render_shearwarp(scene, cfg, camera, jitter=None):
         seg_hi = jnp.minimum(lam_j + half, l_out)
         dt_w = jnp.maximum(seg_hi - seg_lo, 0.0) * speed
 
-        rgb, a = classify(tables[0], tables[1], tables[2], smp)
+        rgb, a = _classify_dense(smp, rgba_tab, value_range, sw.bf16)
         a = jnp.where(dt_w > 0, opacity_correction(a, base, dt_w), 0.0)
 
         if diffuse:
