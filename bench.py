@@ -62,14 +62,46 @@ def main() -> None:
                                 scene.tfn.value_range)
     mc = jax.device_put(mc)
 
-    def frame(i, chain):
-        # Chain each frame on the previous frame's output through a live
-        # scene input: the runtime dedups repeated executions with
-        # identical used operands, which would otherwise turn a fixed
-        # camera/TF benchmark into a dispatch-latency benchmark.
-        tfn = dataclasses.replace(scene.tfn, alpha=scene.tfn.alpha + chain)
-        sc = dataclasses.replace(scene, tfn=tfn)
-        return api.render(sc, cfg, frame_index=i, macrocells=mc)
+    backward = os.environ.get("BENCH_BACKWARD", "") == "1"
+    if backward:
+        # backward rays/s (BASELINE config #4): gradient of a render loss
+        # w.r.t. the volume grid + TF opacity through the bounded-memory
+        # over-compositing adjoint (shading forced to 'none')
+        import dataclasses as _dc
+
+        import jax.numpy as jnp
+
+        cfg = _dc.replace(cfg, shading="none", max_steps=None,
+                          shadow_max_steps=None, sw=None).resolved(scene)
+
+        @jax.jit
+        def grad_step(grid, alpha):
+            def loss(g, a):
+                sc = _dc.replace(
+                    scene, volume=_dc.replace(scene.volume, grid=g),
+                    tfn=_dc.replace(scene.tfn, alpha=a))
+                f = api.render(sc, cfg)
+                return jnp.mean(f.rgba ** 2)
+
+            return jax.grad(loss, argnums=(0, 1))(grid, alpha)
+
+        def frame(i, chain):
+            g, a = grad_step(scene.volume.grid + chain, scene.tfn.alpha)
+            return Out(g.mean() + a.mean())
+
+        class Out:
+            def __init__(self, x):
+                self.rgba = x
+    else:
+        def frame(i, chain):
+            # Chain each frame on the previous frame's output through a
+            # live scene input: the runtime dedups repeated executions
+            # with identical used operands, which would otherwise turn a
+            # fixed camera/TF benchmark into a dispatch-latency benchmark.
+            tfn = dataclasses.replace(scene.tfn,
+                                      alpha=scene.tfn.alpha + chain)
+            sc = dataclasses.replace(scene, tfn=tfn)
+            return api.render(sc, cfg, frame_index=i, macrocells=mc)
 
     import jax.numpy as jnp
     chain = jnp.float32(0)
@@ -90,7 +122,7 @@ def main() -> None:
     # BASELINE.md); the first run of a config writes its own baseline.
     platform = jax.devices()[0].platform
     cfg_key = (f"{platform}-{grid_n}-{width}x{height}-{rate}-{shading}"
-               f"-{method}")
+               f"-{method}" + ("-bwd" if backward else ""))
     baseline_path = os.path.join(os.path.dirname(__file__),
                                  "BASELINE_SELF.json")
     book = {}
@@ -106,8 +138,12 @@ def main() -> None:
 
     desc = ("shear-warp compositing" if cfg.sw is not None
             else "march, macrocell skipping")
+    kind = "backward" if backward else "forward"
+    if backward:
+        desc += ", grid+TF grads via bounded-memory adjoint"
+        shading = cfg.shading
     print(json.dumps({
-        "metric": f"forward rays/s ({grid_n}^3 grid, {width}x{height}, "
+        "metric": f"{kind} rays/s ({grid_n}^3 grid, {width}x{height}, "
                   f"{shading} shading, {desc})",
         "value": rays_per_s,
         "unit": "rays/s",

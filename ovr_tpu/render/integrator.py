@@ -447,10 +447,17 @@ def finalize(color, gradient, depth, alpha):
     With no background geometry the reference divides by the final alpha
     (`alpha_blend` with zero background, shaders_raymarching.cu:314-320).
     `depth` becomes the alpha-blended expected hit distance (0 on empty rays).
+
+    Gradient safety: the divisor is replaced by 1 where alpha ~ 0 (double-
+    where pattern) so the division's VJP stays finite — resampled paths can
+    carry subnormal-tiny alphas whose reciprocal squares overflow.
     """
-    safe3 = jnp.maximum(alpha, 1e-20)[..., None]
-    safe = jnp.maximum(alpha, 1e-20)
-    out_color = jnp.where(alpha[..., None] > 0, color / safe3, 0.0)
-    out_grad = jnp.where(alpha[..., None] > 0, gradient / safe3, 0.0)
-    out_depth = jnp.where(alpha > 0, depth / safe, 0.0)
+    eps = 1e-12
+    sel = alpha > eps
+    safe = jnp.where(sel, alpha, 1.0)
+    safe3 = safe[..., None]
+    sel3 = sel[..., None]
+    out_color = jnp.where(sel3, color / safe3, 0.0)
+    out_grad = jnp.where(sel3, gradient / safe3, 0.0)
+    out_depth = jnp.where(sel, depth / safe, 0.0)
     return out_color, out_grad, out_depth, alpha

@@ -398,12 +398,66 @@ def render_shearwarp(scene, cfg, camera, jitter=None):
     value_range = scene.tfn.value_range
     base = cfg.base_rate * jnp.ones((), dt)
     diffuse = cfg.shading != "none"
+    half = 0.5 * dz * dlam  # half plane interval in ray-parameter units
+
+    if not diffuse:
+        # Unshaded path: run the slice loop through the bounded-memory
+        # over-compositing adjoint (ops.adjoint.over_scan), making
+        # api.render with method='shearwarp' differentiable end to end —
+        # the fast TPU training path (dense backward, O(1)-in-slices
+        # residual memory). Every traced value f needs is threaded through
+        # `params` so cotangents flow to the scene and camera.
+        from ovr_tpu.ops.adjoint import over_scan
+
+        params = dict(
+            grid=grid, tab=rgba_tab, vr=value_range, base=base,
+            pg=pg, qg=qg, lin=l_in, lout=l_out, speed=speed,
+            lam=lam, fz=fz, k0f=k0.astype(dt), half=half,
+            ew1=e[w1], ew2=e[w2], dw1=direction[w1], dw2=direction[w2],
+            lo1=lo1, lo2=lo2, ex1=ex1, ex2=ex2,
+        )
+
+        def f(p, j):
+            lam_j = p["lam"][j]
+            fz_j = p["fz"][j]
+            k0_j = p["k0f"][j].astype(jnp.int32)
+            sl = jax.lax.dynamic_slice(p["grid"], (k0_j, 0, 0), (2, n_r, n_c))
+            plane = sl[0] * (1.0 - fz_j) + sl[1] * fz_j
+            if ortho:
+                x1 = p["pg"] + p["dw1"] * lam_j
+                x2 = p["qg"] + p["dw2"] * lam_j
+            else:
+                x1 = p["ew1"] + p["pg"] * lam_j
+                x2 = p["ew2"] + p["qg"] * lam_j
+            vc = (x1 - p["lo1"]) / p["ex1"] * n_c - 0.5
+            vr = (x2 - p["lo2"]) / p["ex2"] * n_r - 0.5
+            wc = _interp_matrix(vc, n_c)
+            wr = _interp_matrix(vr, n_r)
+            smp = _mm(_mm(wr, plane, sw.bf16), wc.T, sw.bf16).astype(dt)
+            seg_lo = jnp.maximum(lam_j - p["half"], p["lin"])
+            seg_hi = jnp.minimum(lam_j + p["half"], p["lout"])
+            dt_w = jnp.maximum(seg_hi - seg_lo, 0.0) * p["speed"]
+            rgb, a = _classify_dense(smp, p["tab"], p["vr"], sw.bf16)
+            a = jnp.where(dt_w > 0,
+                          opacity_correction(a, p["base"], dt_w), 0.0)
+            t_j = (lam_j * p["speed"])[..., None]
+            v = jnp.concatenate([jnp.clip(rgb, 0.0, 1.0), t_j], axis=-1)
+            return v, a
+
+        big_v, trans = over_scan(f, n_s, params)
+        color = big_v[..., :3]
+        depth = big_v[..., 3]
+        grad = jnp.zeros((hi_i, wi_i, 3), dt)
+        alpha = 1.0 - trans
+        return _sw_warp_out(color, grad, depth, alpha, cfg, camera, sw,
+                            p_scr, q_scr, p_lo, q_lo, dp, dq, pg, u, v,
+                            e, direction, horizontal, vertical, axis,
+                            w1, w2, sign, ortho, dt)
     light_dir = safe_normalize(scene.light.direction)
     x_cam = safe_normalize(horizontal)
     y_cam = safe_normalize(vertical)
     wtc = jnp.stack([x_cam, y_cam, -direction])  # world->camera rows
     intensity = 2.0  # light_rgb, shaders_raymarching.cu:138
-    half = 0.5 * dz * dlam  # half plane interval in ray-parameter units
 
     def body(carry, xs):
         color, grad, depth, trans, prev_s = carry
@@ -469,15 +523,26 @@ def render_shearwarp(scene, cfg, camera, jitter=None):
         body, (z3, z3, z1, jnp.ones((hi_i, wi_i), dt), z1),
         (jnp.arange(n_s, dtype=jnp.int32), lam, k0, fz))
     alpha = 1.0 - trans
+    return _sw_warp_out(color, grad, depth, alpha, cfg, camera, sw,
+                        p_scr, q_scr, p_lo, q_lo, dp, dq, pg, u, v,
+                        e, direction, horizontal, vertical, axis,
+                        w1, w2, sign, ortho, dt)
 
-    # ---- final warp: intermediate (Q, P) -> screen (v, u) ----------------
-    # O[v, u] = stack[cq(u, v), cp(u, v)], exact two-pass decomposition:
-    #   T[s, pi] = stack[cq(t*(pi, s), s), pi]   (t* inverts P along the
-    #     screen axis paired with P: u normally, v when sw.swap)
-    #   O[v, u] = T[row_of(v,u), cp(u, v)]
-    # Substituting pi = cp(t, s) gives t*(cp, s) = t, so the composition
-    # reproduces stack[cq, cp]. Both inverse maps are closed-form rationals
-    # of the camera basis — dense elementwise, no gathers anywhere.
+
+def _sw_warp_out(color, grad, depth, alpha, cfg, camera, sw: SwStatic,
+                 p_scr, q_scr, p_lo, q_lo, dp, dq, pg, u, v,
+                 e, direction, horizontal, vertical, axis, w1, w2, sign,
+                 ortho, dt):
+    """Final warp: intermediate (Q, P) -> screen (v, u), then flatten.
+
+    O[v, u] = stack[cq(u, v), cp(u, v)], exact two-pass decomposition:
+      T[s, pi] = stack[cq(t*(pi, s), s), pi]   (t* inverts P along the
+        screen axis paired with P: u normally, v when sw.swap)
+      O[v, u] = T[row_of(v,u), cp(u, v)]
+    Substituting pi = cp(t, s) gives t*(cp, s) = t, so the composition
+    reproduces stack[cq, cp]. Both inverse maps are closed-form rationals
+    of the camera basis — dense elementwise, no gathers anywhere.
+    """
     stack = jnp.concatenate(
         [color, grad, depth[..., None], alpha[..., None]], axis=-1)
     cp = (p_scr - p_lo) / dp - 0.5  # (H, W) continuous col index

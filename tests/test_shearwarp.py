@@ -173,6 +173,33 @@ class TestFeatures:
         assert f.flow is not None
         assert np.isfinite(np.asarray(f.flow)).all()
 
+    def test_differentiable_bounded_memory(self, small_grid):
+        """method='shearwarp' (unshaded) runs through the over_scan
+        adjoint: gradients to the TF and grid match finite differences."""
+        cam = Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5))
+        scene = _scene(small_grid, cam)
+        cfg = api.RenderConfig(width=16, height=16, sampling_rate=16.0,
+                               shading="none",
+                               method="shearwarp").resolved(scene)
+
+        def loss(alpha):
+            sc = dataclasses.replace(
+                scene, tfn=dataclasses.replace(scene.tfn, alpha=alpha))
+            f = api.render(sc, cfg)
+            return float_sum(f)
+
+        def float_sum(f):
+            return jnp.sum(f.rgba[..., :3] ** 2) + jnp.sum(f.rgba[..., 3])
+
+        a0 = scene.tfn.alpha
+        g = np.asarray(jax.grad(loss)(a0))
+        assert np.isfinite(g).all() and np.abs(g).max() > 0
+        eps = 1e-3
+        for i in (3, 8, 12):
+            fd = (loss(a0.at[i].add(eps)) - loss(a0.at[i].add(-eps))) / (
+                2 * eps)
+            np.testing.assert_allclose(g[i], fd, rtol=0.05, atol=1e-4)
+
     def test_warp_rows_identity(self):
         img = jnp.asarray(np.random.default_rng(0).random((5, 16, 2)),
                           jnp.float32)
