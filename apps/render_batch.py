@@ -16,6 +16,7 @@ around the point of interest and writes a PNG sequence
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import numpy as np
@@ -44,6 +45,8 @@ def parse_args(argv=None):
     p.add_argument("--use-macrocells", action="store_true")
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--timed", type=int, default=25)
+    p.add_argument("--resume", action="store_true",
+                   help="skip frames whose output PNG already exists")
     return p.parse_args(argv)
 
 
@@ -114,16 +117,22 @@ def main(argv=None) -> None:
         out = renderer.mapframe()
         save_image(f"{args.expname}{0:05d}.png", out["rgba"])
     else:
-        t = 0.0
+        from ovr_tpu.utils.checkpoint import FrameCheckpointer
+        directory, prefix = os.path.split(args.expname)
+        ck = FrameCheckpointer(directory, prefix)
+        dt = (args.camera_speed * np.pi) / args.num_frames
         for idx in range(args.num_frames):
+            t = idx * dt
+            if args.resume and ck.done(idx):
+                continue
             cam = orbit_camera(camera, t)
             p = np.asarray(cam.from_)
             print(f"camera pos ({p[0]:f},{p[1]:f},{p[2]:f})")
             renderer.set_camera(camera=cam)
             renderer.render()
             out = renderer.mapframe()
-            save_image(f"{args.expname}{idx:05d}.png", out["rgba"])
-            t += (args.camera_speed * np.pi) / args.num_frames
+            save_image(ck.frame_path(idx), out["rgba"])
+            ck.commit(idx, meta={"t": t, "camera": p.tolist()})
 
 
 if __name__ == "__main__":

@@ -131,6 +131,34 @@ def _vol_repr(volume):
     return volume.grid if hasattr(volume, "grid") else volume
 
 
+def _extra_lights(scene: Scene):
+    """Stack scene.lights into the ShadeContext's dense light arrays.
+
+    Directional/sunSky lights shade like the primary (|N.L| * I); point
+    lights add inverse-square falloff. Intensity folds the light color's
+    mean and the reference's implicit light_rgb = 2
+    (`shaders_raymarching.cu:137-138`) so a unit extra light matches the
+    primary's weight. Ambient entries only feed the path tracer.
+    """
+    dirs, dir_i, pts, pt_i = [], [], [], []
+    for lt in scene.lights:
+        mean_c = jnp.mean(lt.color)
+        if lt.kind in ("directional", "sunsky"):
+            dirs.append(safe_normalize(lt.direction))
+            dir_i.append(2.0 * lt.intensity * mean_c)
+        elif lt.kind == "point":
+            pts.append(lt.position)
+            pt_i.append(2.0 * lt.intensity * mean_c)
+    out = {}
+    if dirs:
+        out["extra_dirs"] = jnp.stack(dirs)
+        out["extra_dir_intens"] = jnp.stack(dir_i)
+    if pts:
+        out["point_pos"] = jnp.stack(pts)
+        out["point_intens"] = jnp.stack(pt_i)
+    return out
+
+
 def _shade_ctx(scene: Scene, camera: Camera, cfg: RenderConfig,
                light_alpha=None) -> ig.ShadeContext:
     _, direction, horizontal, vertical = camera_basis(camera, cfg.width, cfg.height)
@@ -144,6 +172,7 @@ def _shade_ctx(scene: Scene, camera: Camera, cfg: RenderConfig,
         world_lo=scene.volume.world_lo,
         world_hi=scene.volume.world_hi,
         light_alpha=light_alpha,
+        **_extra_lights(scene),
     )
 
 
@@ -246,10 +275,15 @@ def render(scene: Scene, cfg: RenderConfig, camera: Optional[Camera] = None,
                 chunk=cfg.geometry_chunk)
         else:
             t_bg = None
-        color, grad, depth, alpha = march_fn(
-            org, direction, leaves, ctx, mcfg, step,
-            occupancy=macrocells if cfg.use_macrocells else None,
-            jitter=tj if cfg.jitter_rays else None, t_cap=t_bg)
+        if scene.instances:
+            from ovr_tpu.render import multivol
+            color, grad, depth, alpha = multivol.march_instances(
+                scene, org, direction, ctx, cfg, mcfg, step)
+        else:
+            color, grad, depth, alpha = march_fn(
+                org, direction, leaves, ctx, mcfg, step,
+                occupancy=macrocells if cfg.use_macrocells else None,
+                jitter=tj if cfg.jitter_rays else None, t_cap=t_bg)
         if scene.geometries:
             tr = (1.0 - alpha)
             color = color + tr[..., None] * bg_rgb

@@ -217,25 +217,34 @@ class GeometryInstance:
                                 xfm=_as_f32(xfm), kind=kind)
 
 
-@_pytree_dataclass
+@_pytree_dataclass(static=("kind",))
 class Light:
-    """Directional light + global ambient intensity.
+    """A scene light (reference: `ovr::scene::Light`, `ovr/scene.h:329-350`:
+    AMBIENT / DIRECTIONAL / POINT with intensity and color; the OSPRay
+    backend additionally synthesizes sunSky lights,
+    `ospray/device_impl.cpp:445-453`).
 
-    The reference's ray-marcher uses a single directional light with implicit
-    intensity 2 (`shaders_raymarching.cu:137-138`) and the path tracer an
-    ambient term (`params.h:79-80`).
+    The primary directional light drives the ray-marcher's shading with
+    implicit intensity 2 (`shaders_raymarching.cu:137-138`); `ambient`
+    feeds the path tracer's escape term (`params.h:79-80`). `direction`
+    points *toward* the light; `position` is used by point lights.
     """
 
-    direction: jnp.ndarray  # (3,) points *toward* the light
+    direction: jnp.ndarray  # (3,) toward the light (directional/sunSky)
     color: jnp.ndarray  # (3,)
-    ambient: jnp.ndarray  # ()
+    ambient: jnp.ndarray  # () ambient intensity (kind == "ambient")
+    position: jnp.ndarray  # (3,) point-light position
+    intensity: jnp.ndarray  # ()
+    kind: str = "directional"  # "directional" | "point" | "ambient" | "sunsky"
 
     @staticmethod
     def create(direction=(-907.108, 2205.875, -400.0267), color=(1.0, 1.0, 1.0),
-               ambient=1.0) -> "Light":
+               ambient=1.0, position=(0.0, 0.0, 0.0), intensity=1.0,
+               kind: str = "directional") -> "Light":
         return Light(
             direction=_as_f32(direction), color=_as_f32(color),
-            ambient=_as_f32(ambient),
+            ambient=_as_f32(ambient), position=_as_f32(position),
+            intensity=_as_f32(intensity), kind=kind,
         )
 
 
@@ -250,15 +259,21 @@ class Scene:
 
     volume: StructuredVolume
     tfn: TransferFunction
-    light: Light
+    light: Light  # primary directional light (drives ray-march shading)
     camera: Camera
     volume_sampling_rate: jnp.ndarray  # ()
     density_scale: jnp.ndarray  # () path-tracer extinction scale
     geometries: tuple = ()  # tuple[GeometryInstance, ...]
+    lights: tuple = ()  # additional Lights (point/directional/ambient)
+    # additional volume instances beyond `volume`
+    # (tuple[VolumeInstance, ...]; the reference's OSPRay backend builds a
+    # multi-instance world, ospray/device_impl.cpp:332-392)
+    instances: tuple = ()
 
     @staticmethod
     def create(volume, tfn, light=None, camera=None, volume_sampling_rate=1.0,
-               density_scale=1.0, geometries=()) -> "Scene":
+               density_scale=1.0, geometries=(), lights=(),
+               instances=()) -> "Scene":
         if light is None:
             light = Light.create()
         if camera is None:
@@ -267,8 +282,24 @@ class Scene:
             volume=volume, tfn=tfn, light=light, camera=camera,
             volume_sampling_rate=_as_f32(volume_sampling_rate),
             density_scale=_as_f32(density_scale),
-            geometries=tuple(geometries),
+            geometries=tuple(geometries), lights=tuple(lights),
+            instances=tuple(instances),
         )
+
+
+@_pytree_dataclass
+class VolumeInstance:
+    """A structured volume + its transfer function placed in the world —
+    one volumetric model instance (`ovr::scene::Model`/`Instance`,
+    `ovr/scene.h:306-327`). The volume's own world box places it (axis-
+    aligned; general affine instancing applies to geometry instances)."""
+
+    volume: StructuredVolume
+    tfn: TransferFunction
+
+    @staticmethod
+    def create(volume, tfn) -> "VolumeInstance":
+        return VolumeInstance(volume=volume, tfn=tfn)
 
 
 def simple_scene(grid, color=None, alpha=None, value_range=None, **kw) -> Scene:

@@ -118,34 +118,57 @@ def _load_camera(jsview: dict) -> Camera:
         fovy=float(js["fovy"]), height=float(js.get("height", 1.0)), kind=kind)
 
 
-def _load_lights(jsview: dict) -> Light:
+def _parse_light(js: dict) -> Light:
+    kind = {"DIRECTIONAL_LIGHT": "directional", "POINT_LIGHT": "point",
+            "AMBIENT_LIGHT": "ambient", "SUN_SKY_LIGHT": "sunsky"}.get(
+        js.get("type", "DIRECTIONAL_LIGHT"), "directional")
+    pos = _vec3(js.get("position", {"x": 1, "y": 1, "z": 1}))
+    return Light.create(
+        direction=pos,  # VIDI3D stores the toward-light vector as position
+        position=pos,
+        color=_rgb(js.get("diffuse", {})),
+        intensity=float(js.get("intensity", 1.0)),
+        kind=kind)
+
+
+def _load_lights(jsview: dict) -> tuple[Light, tuple]:
+    """(primary directional light, additional lights)."""
     lights = []
     if "lightSource" in jsview:
-        js = jsview["lightSource"]
-        lights.append((_vec3(js["position"]), _rgb(js.get("diffuse", {}))))
+        lights.append(_parse_light(jsview["lightSource"]))
     for js in jsview.get("additionalLightSources", []):
-        lights.append((_vec3(js["position"]), _rgb(js.get("diffuse", {}))))
-    if not lights:
-        lights.append(((1.0, 1.0, 1.0), (1.0, 1.0, 1.0)))
-    # The single-volume render path uses the first directional light.
-    direction, color = lights[0]
-    return Light.create(direction=direction, color=color)
+        lights.append(_parse_light(js))
+    primary = next((l for l in lights
+                    if l.kind in ("directional", "sunsky")), None)
+    if primary is None:
+        primary = Light.create(direction=(1.0, 1.0, 1.0))
+    extras = tuple(l for l in lights if l is not primary)
+    return primary, extras
 
 
 def load_scene_vidi3d(root: dict, workdir: str) -> Scene:
     sources = root["dataSource"]
     if not isinstance(sources, list):
         sources = [sources]
-    # Single-volume render path (parse_single_volume_scene, scene.h:413-426).
+    # Primary volume (parse_single_volume_scene, scene.h:413-426); further
+    # dataSource entries become VolumeInstance models sharing the view's
+    # transfer function (the OSPRay backend's multi-instance world,
+    # ospray/device_impl.cpp:332-392).
     volume, vtype = _load_volume(sources[0], workdir)
     view = root["view"]
     tfn = _load_tfn(view, vtype)
     camera = _load_camera(view)
-    light = _load_lights(view)
+    light, extras = _load_lights(view)
     rate = 1.0 / float(view["volume"].get("sampleDistance", 1.0))
+    instances = []
+    for src in sources[1:]:
+        from ovr_tpu.core.scene import VolumeInstance
+        vol_i, vtype_i = _load_volume(src, workdir)
+        instances.append(VolumeInstance.create(vol_i, tfn))
     return Scene.create(
         volume=volume, tfn=tfn, light=light, camera=camera,
-        volume_sampling_rate=rate)
+        volume_sampling_rate=rate, lights=extras,
+        instances=tuple(instances))
 
 
 def create_scene(filename: str) -> Scene:

@@ -148,12 +148,20 @@ class ShadeContext:
     # When present, 'shadow'/'ssh' shading does one trilinear fetch per
     # sample instead of a full shadow march.
     light_alpha: Any = None
+    # Additional scene lights (ovr/scene.h:329-350): directional as (L, 3)
+    # unit dirs + (L,) intensities; point as (L, 3) positions + (L,)
+    # intensities with inverse-square falloff. None = primary light only.
+    extra_dirs: Any = None
+    extra_dir_intens: Any = None
+    point_pos: Any = None
+    point_intens: Any = None
 
 
 jax.tree_util.register_dataclass(
     ShadeContext,
     data_fields=["light_dir", "wtc", "world_lo", "world_hi", "grad_hi",
-                 "light_alpha"],
+                 "light_alpha", "extra_dirs", "extra_dir_intens",
+                 "point_pos", "point_intens"],
     meta_fields=[],
 )
 
@@ -205,7 +213,20 @@ def _march_step(carry, scene_leaves, ctx: ShadeContext, cfg: MarchConfig,
                     pos, ctx.light_dir, ctx.world_lo, ctx.world_hi, step, cfg)
         else:
             shadow = 0.0
-        shade = 0.5 + 0.5 * cos_nl * cfg.light_intensity * (1.0 - shadow)
+        total = cos_nl * cfg.light_intensity
+        if ctx.extra_dirs is not None:
+            # additional directional lights: |N . L_l| * I_l, summed
+            cos_e = jnp.abs(n_world @ ctx.extra_dirs.T)  # (N, L)
+            total = total + cos_e @ ctx.extra_dir_intens
+        if ctx.point_pos is not None:
+            # point lights with inverse-square falloff (scene.h:345-349)
+            delta = ctx.point_pos[None, :, :] - pos[:, None, :]  # (N, L, 3)
+            r2 = jnp.sum(delta * delta, axis=-1)
+            ldir = delta * jax.lax.rsqrt(jnp.maximum(r2, 1e-12))[..., None]
+            cos_p = jnp.abs(jnp.sum(n_world[:, None, :] * ldir, axis=-1))
+            total = total + (cos_p / jnp.maximum(r2, 1e-6)
+                             ) @ ctx.point_intens
+        shade = 0.5 + 0.5 * total * (1.0 - shadow)
         rgb = rgb * shade[..., None]
     else:
         n_cam = jnp.zeros_like(pos)

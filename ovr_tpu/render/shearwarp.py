@@ -110,6 +110,12 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
         return None
     if getattr(scene, "geometries", ()):
         return None  # surface compositing not factorized yet
+    if getattr(scene, "instances", ()):
+        return None  # multi-volume scenes composite via render.multivol
+    if cfg.shading != "none" and any(
+            lt.kind in ("directional", "point", "sunsky")
+            for lt in getattr(scene, "lights", ())):
+        return None  # extra shading lights: only the march shades them
     try:
         d, h, v = _np_basis(camera, cfg.width, cfg.height)
     except Exception:

@@ -1,0 +1,132 @@
+"""Extended scene graph: additional lights and multi-volume instances."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ovr_tpu import api
+from ovr_tpu.core.scene import (
+    Camera,
+    Light,
+    StructuredVolume,
+    TransferFunction,
+    VolumeInstance,
+    simple_scene,
+)
+
+
+def _cam():
+    return Camera.create(from_=(0.5, 0.5, -2.2), at=(0.5, 0.5, 0.5),
+                         fovy=50.0)
+
+
+def _render(scene, shading="diffuse", w=40, h=32, rate=24.0):
+    cfg = api.RenderConfig(width=w, height=h, spp=1, sampling_rate=rate,
+                           shading=shading).resolved(scene)
+    return api.render(scene, cfg)
+
+
+class TestLights:
+    def test_extra_directional_brightens(self, small_grid):
+        scene = dataclasses.replace(simple_scene(small_grid), camera=_cam())
+        base = _render(scene)
+        lit = _render(dataclasses.replace(
+            scene,
+            lights=(Light.create(direction=(0.0, 0.0, -1.0),
+                                 intensity=1.0),)))
+        pm_b = np.asarray(base.rgba[..., :3] * base.rgba[..., 3:4])
+        pm_l = np.asarray(lit.rgba[..., :3] * lit.rgba[..., 3:4])
+        assert pm_l.sum() > pm_b.sum() * 1.05
+
+    def test_point_light_falloff(self, small_grid):
+        scene = dataclasses.replace(simple_scene(small_grid), camera=_cam())
+        near = _render(dataclasses.replace(
+            scene, lights=(Light.create(position=(0.5, 0.5, -0.2),
+                                        kind="point"),)))
+        far = _render(dataclasses.replace(
+            scene, lights=(Light.create(position=(0.5, 0.5, -30.0),
+                                        kind="point"),)))
+        assert float(jnp.sum(near.rgba)) > float(jnp.sum(far.rgba))
+
+    def test_ambient_light_ignored_by_marcher(self, small_grid):
+        scene = dataclasses.replace(simple_scene(small_grid), camera=_cam())
+        base = _render(scene)
+        amb = _render(dataclasses.replace(
+            scene, lights=(Light.create(kind="ambient", ambient=3.0),)))
+        np.testing.assert_allclose(np.asarray(base.rgba),
+                                   np.asarray(amb.rgba), atol=1e-6)
+
+    def test_shearwarp_falls_back_with_extra_lights(self, small_grid):
+        scene = dataclasses.replace(
+            simple_scene(small_grid), camera=_cam(),
+            lights=(Light.create(direction=(0, 0, -1)),))
+        cfg = api.RenderConfig(method="auto", shading="diffuse"
+                               ).resolved(scene)
+        assert cfg.sw is None
+        cfg = api.RenderConfig(method="auto", shading="none"
+                               ).resolved(scene)
+        assert cfg.sw is not None  # unshaded: lights don't matter
+
+
+class TestMultiVolume:
+    def _two_volume_scene(self, small_grid):
+        # primary in [0,1]^3; second, brighter box shifted +x, disjoint
+        scene = simple_scene(small_grid)
+        v2 = StructuredVolume.create(
+            np.full((8, 8, 8), 0.9, np.float32),
+            world_lo=(1.2, 0.0, 0.0), world_hi=(2.2, 1.0, 1.0))
+        tf2 = TransferFunction.create(
+            np.tile([[1.0, 0.1, 0.1]], (8, 1)), np.linspace(0, 1, 8),
+            (0.0, 1.0))
+        cam = Camera.create(from_=(1.1, 0.5, -3.2), at=(1.1, 0.5, 0.5),
+                            fovy=45.0)
+        return dataclasses.replace(
+            scene, camera=cam,
+            instances=(VolumeInstance.create(v2, tf2),))
+
+    def test_both_volumes_visible(self, small_grid):
+        scene = self._two_volume_scene(small_grid)
+        f = _render(scene, shading="none", w=64, h=32, rate=16.0)
+        a = np.asarray(f.rgba[..., 3])
+        mid = a.shape[0] // 2
+        cols = np.nonzero(a[mid] > 0.05)[0]
+        assert len(cols) > 10, "volumes invisible"
+        # two disjoint footprints separated by an empty gap
+        gaps = np.diff(cols)
+        assert gaps.max() >= 2, "expected two separated volumes"
+        # the dense 0.9-valued instance shows as a red, high-alpha band
+        dense = a[mid] > 0.85
+        assert dense.any()
+        rgb = np.asarray(f.rgba[mid][dense]).mean(0)
+        assert rgb[0] > rgb[2]
+
+    def test_disjoint_matches_single_renders(self, small_grid):
+        """For disjoint boxes, multi-volume compositing must equal the sum
+        of individually rendered volumes wherever only one is hit."""
+        scene = self._two_volume_scene(small_grid)
+        f_multi = _render(scene, shading="none", w=64, h=32, rate=16.0)
+        f_single = _render(dataclasses.replace(scene, instances=()),
+                           shading="none", w=64, h=32, rate=16.0)
+        a_single = np.asarray(f_single.rgba[..., 3])
+        mask = a_single > 0.01
+        pm_m = np.asarray(f_multi.rgba[..., :3] * f_multi.rgba[..., 3:4])
+        pm_s = np.asarray(f_single.rgba[..., :3] * f_single.rgba[..., 3:4])
+        np.testing.assert_allclose(pm_m[mask], pm_s[mask], atol=1e-5)
+
+    def test_depth_ordering(self, small_grid):
+        """A nearer opaque instance occludes the primary volume."""
+        scene = simple_scene(small_grid)
+        blocker = StructuredVolume.create(
+            np.ones((4, 4, 4), np.float32),
+            world_lo=(0.0, 0.0, -1.0), world_hi=(1.0, 1.0, -0.5))
+        tf2 = TransferFunction.create(
+            np.tile([[0.0, 1.0, 0.0]], (4, 1)), np.ones(4), (0.0, 1.0))
+        cam = Camera.create(from_=(0.5, 0.5, -3.0), at=(0.5, 0.5, 0.5))
+        scene = dataclasses.replace(
+            scene, camera=cam,
+            instances=(VolumeInstance.create(blocker, tf2),))
+        f = _render(scene, shading="none", w=24, h=24, rate=24.0)
+        c = np.asarray(f.rgba)
+        mid = c[12, 12]
+        assert mid[1] > 0.9 and mid[0] < 0.1  # green blocker wins
