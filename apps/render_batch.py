@@ -47,6 +47,10 @@ def parse_args(argv=None):
     p.add_argument("--timed", type=int, default=25)
     p.add_argument("--resume", action="store_true",
                    help="skip frames whose output PNG already exists")
+    p.add_argument("--method", default="auto",
+                   choices=["auto", "march", "shearwarp"],
+                   help="integration method (auto: dense shear-warp fast "
+                        "path when eligible, else per-ray march)")
     return p.parse_args(argv)
 
 
@@ -98,6 +102,7 @@ def main(argv=None) -> None:
         width=args.fbsize[0], height=args.fbsize[1], spp=args.spp,
         sampling_rate=rate, shading=args.shading, path_tracing=args.pt,
         use_macrocells=args.use_macrocells or args.pt, fast_math=not args.pt,
+        method=args.method,
     ))
     renderer.set_volume_sampling_rate(rate)
     renderer.set_frame_accumulation(True)

@@ -370,7 +370,7 @@ def main(argv=None) -> None:
     cfg = api.RenderConfig(
         width=args.fbsize[0], height=args.fbsize[1], spp=args.spp,
         sampling_rate=rate, shading=args.shading, fast_math=True,
-        use_macrocells=args.use_macrocells)
+        use_macrocells=args.use_macrocells, method="auto")
     sess = RenderSession(scene, cfg)
     sess.start()
 

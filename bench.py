@@ -93,11 +93,21 @@ def main() -> None:
             def __init__(self, x):
                 self.rgba = x
     else:
+        # shadow lattice: camera-independent, built once per commit
+        # (Renderer.commit does the same); the frame loop reuses it
+        lg = (jax.device_put(api.build_light_grid(scene, cfg))
+              if api._wants_light_grid(cfg) else None)
+
         def frame(i, chain):
             # Chain each frame on the previous frame's output through a
             # live scene input: the runtime dedups repeated executions
             # with identical used operands, which would otherwise turn a
             # fixed camera/TF benchmark into a dispatch-latency benchmark.
+            if lg is not None:  # keep the cached shadow lattice valid
+                cam = dataclasses.replace(
+                    scene.camera, from_=scene.camera.from_ + chain)
+                return api.render(scene, cfg, camera=cam, frame_index=i,
+                                  macrocells=mc, light_grid=lg)
             tfn = dataclasses.replace(scene.tfn,
                                       alpha=scene.tfn.alpha + chain)
             sc = dataclasses.replace(scene, tfn=tfn)

@@ -53,6 +53,9 @@ class RenderConfig:
     method: str = "march"
     sw_inter_cap: int = 768  # shear-warp intermediate resolution cap
     sw_bf16: bool = False  # bfloat16 shear-warp matmuls (f32 accumulate)
+    # fuse the unshaded slice loop into the Pallas TPU kernel (ops.swslice;
+    # VMEM-resident carry); gradients route through the over_scan adjoint
+    sw_pallas: bool = True
     sw: Any = None  # resolved shear-warp plan (SwStatic; set by resolved())
     shading: str = ig.SHADING_SHADOW
     shadow_scale: float = 10.0
@@ -95,7 +98,8 @@ class RenderConfig:
             from ovr_tpu.render import shearwarp
             eligible = (not self.path_tracing
                         and self.shading in (ig.SHADING_NONE,
-                                             ig.SHADING_DIFFUSE))
+                                             ig.SHADING_DIFFUSE,
+                                             ig.SHADING_SHADOW))
             sw = shearwarp.resolve_static(
                 scene, camera or scene.camera, self) if eligible else None
             if sw is None and self.method == "shearwarp":
@@ -182,8 +186,14 @@ def _wants_light_grid(cfg: RenderConfig) -> bool:
 
 
 def build_light_grid(scene: Scene, cfg: RenderConfig) -> jnp.ndarray:
-    """Shadow-alpha lattice for `render(..., light_grid=...)` (jittable;
-    rebuild when the volume, TF, or light direction changes)."""
+    """Shadow-alpha lattice for `render(..., light_grid=...)`.
+
+    Uses the dense light-axis sweep (no gathers; render.lightgrid.
+    build_light_grid_swept) when the light direction is concrete — the
+    sweep axis is a static choice — and the per-point shadow-march builder
+    under a jit trace. Rebuild when the volume, TF, or light changes."""
+    import jax.core
+
     from ovr_tpu.render import lightgrid
 
     mcfg = ig.MarchConfig(
@@ -196,10 +206,13 @@ def build_light_grid(scene: Scene, cfg: RenderConfig) -> jnp.ndarray:
     vol = scene.volume
     shape = vol.grid.shape if hasattr(vol, "grid") else (128, 128, 128)
     res = lightgrid.default_resolution(shape, cap=cfg.shadow_grid_res)
+    direction = safe_normalize(scene.light.direction)
+    if not isinstance(direction, jax.core.Tracer) and hasattr(vol, "grid"):
+        return lightgrid.build_light_grid_swept(
+            leaves, direction, vol.world_lo, vol.world_hi, mcfg, res)
     step = jnp.asarray(1.0 / cfg.sampling_rate, cfg.dtype)
     return lightgrid.build_light_grid(
-        leaves, safe_normalize(scene.light.direction), vol.world_lo,
-        vol.world_hi, step, mcfg, res)
+        leaves, direction, vol.world_lo, vol.world_hi, step, mcfg, res)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -228,7 +241,10 @@ def render(scene: Scene, cfg: RenderConfig, camera: Optional[Camera] = None,
         return pathtracer.render_frame(scene, cfg, camera, key, macrocells)
 
     if cfg.sw is not None:
-        return _render_shearwarp_frame(scene, cfg, camera, key, last_camera)
+        if light_grid is None and _wants_light_grid(cfg):
+            light_grid = build_light_grid(scene, cfg)
+        return _render_shearwarp_frame(scene, cfg, camera, key, last_camera,
+                                       light_grid)
 
     screen = pixel_screen_coords(cfg.width, cfg.height, cfg.dtype)
     screen = screen.reshape(-1, 2)
@@ -346,7 +362,8 @@ def render(scene: Scene, cfg: RenderConfig, camera: Optional[Camera] = None,
 
 
 def _render_shearwarp_frame(scene: Scene, cfg: RenderConfig, camera: Camera,
-                            key: jax.Array, last_camera) -> Frame:
+                            key: jax.Array, last_camera,
+                            light_grid=None) -> Frame:
     """Shear-warp fast path: dense slice-order compositing
     (render.shearwarp). spp > 1 stratifies the sample-plane offset (the
     dense analogue of per-ray t-jitter); jitter_rays randomizes it."""
@@ -360,7 +377,7 @@ def _render_shearwarp_frame(scene: Scene, cfg: RenderConfig, camera: Camera,
         else:
             off = None
         color, grad, depth, alpha = shearwarp.render_shearwarp(
-            scene, cfg, camera, jitter=off)
+            scene, cfg, camera, jitter=off, light_grid=light_grid)
         return (acc[0] + color, acc[1] + grad, acc[2] + depth,
                 acc[3] + alpha)
 

@@ -1,0 +1,238 @@
+"""Fused shear-warp slice loop as a single Pallas TPU kernel.
+
+The XLA version of the slice loop (render.shearwarp) writes its carry
+(color/depth/transmittance over the intermediate grid) to HBM every slice
+and materializes each resampled plane and its classification. This kernel
+fuses the whole loop:
+
+  grid = (column_tiles, n_slices)   # slices minor: executed sequentially
+  per step: the plane's two voxel slabs stream HBM->VMEM (scalar-prefetched
+  z indices drive the BlockSpec index maps), z-lerp, the two interpolation
+  matrices are built in registers, resampling is two MXU matmuls,
+  classification a two-tap 128-lane table gather, opacity correction uses
+  the exact per-pixel plane/ray interval overlap (slab test inline), and
+  the result over-composites into a VMEM carry scratch that never leaves
+  the chip. Outputs are written once, at the last slice of each tile.
+
+HBM traffic per frame ~= the volume planes + the final (5, Hi, Wi) buffers
+(vs ~3 GB of scan-carry traffic for the XLA version at 512^2 x 256).
+
+Scope: the unshaded integrand (shading='none'; diffuse/shadow stay on the
+XLA paths). render.shearwarp wraps this in a custom VJP whose backward
+recomputes through the over_scan adjoint, so the fast forward remains
+differentiable with bounded memory.
+
+Reference semantics fused: trilinear sampling (`shaders_common.h:186-193`,
+factorized per plane), TF classification (`:356-367`), opacity correction
+(`shaders_raymarching.cu:117-122`), front-to-back over (`:160-166`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128  # column-tile width = one vreg of lanes
+CHUNK = 128  # TF-table lanes per gather chunk
+
+# scalar vector layout (SMEM input, shape (1, 20))
+(S_LO1, S_EX1, S_LO2, S_EX2, S_EW1, S_EW2, S_DW1, S_DW2, S_HALF, S_DZ,
+ S_OFF, S_VLO, S_VSCALE, S_BASE, S_LAM0, S_NA, S_DLAM, S_EXA,
+ S_ORTHO, S_PAD) = range(20)
+N_SCALARS = 20
+
+
+def _tf_gather(tab_ref, ch, idx, n_chunks):
+    """Two-tap nodal gather: tab_ref (4, n_chunks, 1, CHUNK); idx
+    (R, LANES) int32 node indices (LANES == CHUNK). Returns (R, LANES)."""
+    r = idx.shape[0]
+    out = jnp.zeros(idx.shape, jnp.float32)
+    for k in range(n_chunks):
+        local = idx - k * CHUNK
+        ok = (local >= 0) & (local < CHUNK)
+        tile = jnp.broadcast_to(tab_ref[ch, k], (r, CHUNK))
+        g = jnp.take_along_axis(tile, jnp.clip(local, 0, CHUNK - 1), axis=1)
+        out = jnp.where(ok, g, out)
+    return out
+
+
+def _kernel(k0_ref, vol0_ref, vol1_ref, pg_ref, qg_ref, tab_ref, sc_ref,
+            out_ref, carry, *, n_r, n_c, n_orig, n_chunks, hi_i):
+    """One (column tile, slice) grid step. carry: (5, Hi, LANES) VMEM
+    scratch rows [c_r, c_g, c_b, depth, trans]."""
+    j = pl.program_id(1)
+    n_slices = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        carry[0:4, :, :] = jnp.zeros((4, hi_i, LANES), jnp.float32)
+        carry[4, :, :] = jnp.ones((hi_i, LANES), jnp.float32)
+
+    def sc(i):
+        return sc_ref[0, i]
+
+    jf = j.astype(jnp.float32)
+    z_rel = (jf + sc(S_OFF)) * sc(S_DZ)
+    lam = z_rel * sc(S_DLAM) + sc(S_LAM0)
+    ortho = sc(S_ORTHO) > 0.5
+
+    # z-lerp the two staged voxel slabs (fz recomputed to match the
+    # prefetched k0 = clip(floor(c), 0, n_a - 2))
+    c = jnp.clip(z_rel / sc(S_EXA) * sc(S_NA) - 0.5, 0.0, sc(S_NA) - 1.0)
+    kf = jnp.clip(jnp.floor(c), 0.0, sc(S_NA) - 2.0)
+    fz = c - kf
+    plane = vol0_ref[0] * (1.0 - fz) + vol1_ref[0] * fz  # (Nr, Nc)
+
+    # world coords of this tile's intermediate pixels on the plane
+    pg = pg_ref[0, :]  # (LANES,)
+    qg = qg_ref[:, 0]  # (Hi,)
+    x1 = jnp.where(ortho, pg + sc(S_DW1) * lam, sc(S_EW1) + pg * lam)
+    x2 = jnp.where(ortho, qg + sc(S_DW2) * lam, sc(S_EW2) + qg * lam)
+    vc = jnp.clip((x1 - sc(S_LO1)) / sc(S_EX1) * n_c - 0.5, 0.0, n_c - 1.0)
+    vr = jnp.clip((x2 - sc(S_LO2)) / sc(S_EX2) * n_r - 0.5, 0.0, n_r - 1.0)
+
+    # interpolation matrices in registers; two MXU matmuls resample
+    ic = jax.lax.broadcasted_iota(jnp.int32, (LANES, n_c), 1
+                                  ).astype(jnp.float32)
+    ir = jax.lax.broadcasted_iota(jnp.int32, (hi_i, n_r), 1
+                                  ).astype(jnp.float32)
+    wc = jnp.maximum(0.0, 1.0 - jnp.abs(vc[:, None] - ic))  # (LANES, Nc)
+    wr = jnp.maximum(0.0, 1.0 - jnp.abs(vr[:, None] - ir))  # (Hi, Nr)
+    t1 = jnp.dot(wr, plane, preferred_element_type=jnp.float32)  # (Hi, Nc)
+    smp = jnp.dot(t1, wc.T, preferred_element_type=jnp.float32)  # (Hi, L)
+
+    # exact per-pixel plane/ray interval overlap (inline slab test in
+    # ray-parameter units; principal-axis range folded into S_LAM0/S_EXA)
+    pp = jnp.broadcast_to(pg[None, :], (hi_i, LANES))
+    qq = jnp.broadcast_to(qg[:, None], (hi_i, LANES))
+    d1 = jnp.where(ortho, sc(S_DW1), pp)
+    d2 = jnp.where(ortho, sc(S_DW2), qq)
+    o1 = jnp.where(ortho, pp, sc(S_EW1))
+    o2 = jnp.where(ortho, qq, sc(S_EW2))
+
+    def axis_rng(o, d, lo, ext):
+        small = jnp.abs(d) < 1e-12
+        dd = jnp.where(small, 1.0, d)
+        a = (lo - o) / dd
+        b = (lo + ext - o) / dd
+        lo_t = jnp.where(small, jnp.where(o >= lo, -3.4e38, 3.4e38),
+                         jnp.minimum(a, b))
+        hi_t = jnp.where(small, jnp.where(o <= lo + ext, 3.4e38, -3.4e38),
+                         jnp.maximum(a, b))
+        return lo_t, hi_t
+
+    l1, h1 = axis_rng(o1, d1, sc(S_LO1), sc(S_EX1))
+    l2, h2 = axis_rng(o2, d2, sc(S_LO2), sc(S_EX2))
+    la = sc(S_LAM0)
+    ha = sc(S_LAM0) + sc(S_EXA) * sc(S_DLAM)
+    l_in = jnp.maximum(jnp.maximum(jnp.maximum(l1, l2), la), 0.0)
+    l_out = jnp.maximum(jnp.minimum(jnp.minimum(h1, h2), ha), l_in)
+    speed = jnp.where(ortho, 1.0, jnp.sqrt(pp * pp + qq * qq + 1.0))
+    seg_lo = jnp.maximum(lam - sc(S_HALF), l_in)
+    seg_hi = jnp.minimum(lam + sc(S_HALF), l_out)
+    dt_w = jnp.maximum(seg_hi - seg_lo, 0.0) * speed
+
+    # classify: normalized value -> two-tap nodal lookup
+    v = jnp.clip((smp - sc(S_VLO)) * sc(S_VSCALE), 0.0, 1.0)
+    cc = v * (n_orig - 1)
+    i0 = jnp.clip(jnp.floor(cc), 0.0, n_orig - 1.0).astype(jnp.int32)
+    f = cc - i0.astype(jnp.float32)
+    i1 = jnp.minimum(i0 + 1, n_orig - 1)
+
+    def lookup(ch):
+        lo_v = _tf_gather(tab_ref, ch, i0, n_chunks)
+        hi_v = _tf_gather(tab_ref, ch, i1, n_chunks)
+        return lo_v * (1.0 - f) + hi_v * f
+
+    r = jnp.clip(lookup(0), 0.0, 1.0)
+    g = jnp.clip(lookup(1), 0.0, 1.0)
+    b = jnp.clip(lookup(2), 0.0, 1.0)
+    a_raw = lookup(3)
+
+    # opacity correction 1 - (1-a)^(base*dt), nearly_equal skip
+    k = sc(S_BASE) * dt_w
+    a_c = jnp.clip(a_raw, 0.0, 1.0 - 1e-7)
+    a = jnp.clip(1.0 - jnp.exp(k * jnp.log1p(-a_c)), 0.0, 1.0)
+    a = jnp.where(jnp.abs(k - 1.0) < 1e-7, jnp.clip(a_raw, 0.0, 1.0), a)
+    a = jnp.where(dt_w > 0.0, a, 0.0)
+    a = jnp.minimum(a, 1.0 - 1e-6)  # over_scan's A_MAX (VJP consistency)
+
+    trans = carry[4, :, :]
+    aw = trans * a
+    carry[0, :, :] += aw * r
+    carry[1, :, :] += aw * g
+    carry[2, :, :] += aw * b
+    carry[3, :, :] += aw * (lam * speed)
+    carry[4, :, :] = trans * (1.0 - a)
+
+    @pl.when(j == n_slices - 1)
+    def _emit():
+        out_ref[0:4, :, :] = carry[0:4, :, :]
+        out_ref[4, :, :] = 1.0 - carry[4, :, :]
+
+
+def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
+                           n_slices: int, interpret=None):
+    """Run the fused slice loop. grid_v (A, Nr, Nc) traversal-ordered
+    volume; rgba_tab (K, 4) merged nodal table; scalars (N_SCALARS,) f32
+    (S_* layout); pg (Wi,), qg (Hi,); k0 (n_slices,) int32 slab indices
+    (clip(floor(c), 0, A-2)). Returns (5, Hi, Wi): premultiplied r, g, b,
+    depth and alpha."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_a, n_r, n_c = grid_v.shape
+    hi_i = qg.shape[0]
+    wi_i = pg.shape[0]
+    n_orig = rgba_tab.shape[0]
+    pad_t = (-n_orig) % CHUNK
+    tab = rgba_tab.astype(jnp.float32)
+    if pad_t:
+        tab = jnp.concatenate([tab, jnp.tile(tab[-1:], (pad_t, 1))], 0)
+    n_chunks = tab.shape[0] // CHUNK
+    tab = tab.T.reshape(4, n_chunks, 1, CHUNK)
+
+    assert wi_i % LANES == 0, wi_i
+    n_tiles = wi_i // LANES
+
+    kernel = functools.partial(
+        _kernel, n_r=n_r, n_c=n_c, n_orig=n_orig, n_chunks=n_chunks,
+        hi_i=hi_i)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, n_slices),
+        in_specs=[
+            pl.BlockSpec((1, n_r, n_c), lambda t, j, k0_: (k0_[j], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_r, n_c),
+                         lambda t, j, k0_: (k0_[j] + 1, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda t, j, k0_: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hi_i, 1), lambda t, j, k0_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n_chunks, 1, CHUNK),
+                         lambda t, j, k0_: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_SCALARS), lambda t, j, k0_: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((5, hi_i, LANES),
+                               lambda t, j, k0_: (0, 0, t),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((5, hi_i, LANES), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((5, hi_i, wi_i), jnp.float32),
+        interpret=interpret,
+    )(k0.astype(jnp.int32), grid_v.astype(jnp.float32),
+      grid_v.astype(jnp.float32),
+      pg.astype(jnp.float32).reshape(1, wi_i),
+      qg.astype(jnp.float32).reshape(hi_i, 1), tab,
+      scalars.astype(jnp.float32).reshape(1, N_SCALARS))
+    return out

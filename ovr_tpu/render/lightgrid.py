@@ -22,6 +22,7 @@ low-frequency, and `res=volume_dims/2` is visually indistinguishable
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -53,6 +54,125 @@ def build_light_grid(scene_leaves, light_dir, world_lo, world_hi, step,
                              base, pos, light_dir, world_lo, world_hi, step,
                              cfg)
     return alpha.reshape(rz, ry, rx)
+
+
+def build_light_grid_swept(scene_leaves, light_dir, world_lo, world_hi,
+                           cfg, res: tuple[int, int, int]) -> jnp.ndarray:
+    """Dense (gather-free) shadow-alpha lattice: a light-axis sweep.
+
+    The lattice's transmittance satisfies a plane-to-plane recurrence along
+    the light's dominant axis: T(plane k) = shift(T(plane k+1 toward the
+    light)) * (1 - a(midpoint sample)), where the shift is the constant
+    lateral offset the light direction advances per plane — a dense 2D
+    resample (interp matmuls), like the shear-warp slice loop. Replaces the
+    per-lattice-point shadow march (res^3 x shadow_steps *gathers*) with
+    res_a dense plane ops; same optical-depth integral, finer quadrature
+    (one sample per plane instead of the reference's 10x-coarse shadow
+    step, `shaders_raymarching.cu:44-85`).
+
+    `light_dir` must be concrete (the sweep axis is static); jit-traced
+    directions fall back to `build_light_grid`.
+    """
+    import numpy as np
+
+    (grid, color_table, alpha_table, value_range, base) = scene_leaves
+    if not hasattr(grid, "shape") or grid.ndim != 3:
+        # neural fields have no dense planes; use the sampling builder
+        return build_light_grid(scene_leaves, light_dir, world_lo, world_hi,
+                                jnp.asarray(0.01), cfg, res)
+    ld = np.asarray(light_dir, np.float64)
+    ld = ld / max(np.linalg.norm(ld), 1e-30)
+    axis = int(np.argmax(np.abs(ld)))
+    sgn = 1 if ld[axis] >= 0 else -1
+    perp = [w for w in (0, 1, 2) if w != axis]
+    w1, w2 = perp
+
+    dt = jnp.asarray(world_lo).dtype
+    ext = jnp.asarray(world_hi) - jnp.asarray(world_lo)
+    res_xyz = (res[2], res[1], res[0])  # res is (rz, ry, rx)
+    n_a = res_xyz[axis]
+    n_c = res_xyz[w1]  # lattice cols (minor)
+    n_r = res_xyz[w2]  # lattice rows
+    # volume viewed with the light axis first, flipped so index 0 is the
+    # light-side face (the sweep start)
+    gv = jnp.transpose(grid, (2 - axis, 2 - w2, 2 - w1))
+    if sgn > 0:
+        gv = gv[::-1]
+    vz, vr, vc = gv.shape
+
+    # lattice texel centers (object space) along each axis
+    qa = (jnp.arange(n_a, dtype=dt) + 0.5) / n_a  # distance from light face
+    qc = (jnp.arange(n_c, dtype=dt) + 0.5) / n_c
+    qr = (jnp.arange(n_r, dtype=dt) + 0.5) / n_r
+    # lateral drift of the shadow ray per unit object-a, in object units
+    ext_np = np.asarray(ext, np.float64)
+    drift1 = float(ld[w1] / ld[axis] * ext_np[axis] / ext_np[w1]) * (-sgn)
+    drift2 = float(ld[w2] / ld[axis] * ext_np[axis] / ext_np[w2]) * (-sgn)
+    # (toward the light = decreasing sweep index; drift folded accordingly)
+    dq = 1.0 / n_a
+    step_world = float(ext_np[axis]) * dq / max(abs(float(ld[axis])), 1e-12)
+
+    i_c = jnp.arange(n_c, dtype=dt)[None, :]
+    i_r = jnp.arange(n_r, dtype=dt)[None, :]
+
+    def interp_open(pos, n, idx_row):
+        """Interp matrix with *zero* weight outside [0, n-1] (open
+        boundary: outside the box the shadow ray sees T = 1)."""
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - idx_row))
+        return w
+
+    def shift_T(t, s1, s2):
+        """Resample T at lattice positions shifted by (s1, s2) object
+        units; out-of-box reads contribute transmittance 1."""
+        pc = (qc + s1) * n_c - 0.5
+        pr = (qr + s2) * n_r - 0.5
+        wc = interp_open(pc, n_c, i_c)  # (n_c, n_c)
+        wr = interp_open(pr, n_r, i_r)  # (n_r, n_r)
+        out = wr @ t @ wc.T
+        cover = (wr @ jnp.ones((n_r, n_c), dt)) @ wc.T
+        return out + (1.0 - cover)
+
+    def sample_plane(qa_mid, s1, s2):
+        """Volume sample on the plane at object-a distance qa_mid from the
+        light face, at lattice perp positions shifted by (s1, s2)."""
+        cz = jnp.clip(qa_mid * vz - 0.5, 0.0, vz - 1.0)
+        k0 = jnp.clip(jnp.floor(cz).astype(jnp.int32), 0, max(vz - 2, 0))
+        fzz = cz - k0.astype(dt)
+        sl = jax.lax.dynamic_slice(gv, (k0, 0, 0), (min(2, vz), vr, vc))
+        plane = (sl[0] * (1.0 - fzz) + sl[-1] * fzz)
+        pc = jnp.clip((qc + s1) * vc - 0.5, 0.0, vc - 1.0)
+        pr = jnp.clip((qr + s2) * vr - 0.5, 0.0, vr - 1.0)
+        wc = jnp.maximum(0.0, 1.0 - jnp.abs(
+            pc[:, None] - jnp.arange(vc, dtype=dt)[None, :]))
+        wr = jnp.maximum(0.0, 1.0 - jnp.abs(
+            pr[:, None] - jnp.arange(vr, dtype=dt)[None, :]))
+        return wr @ plane @ wc.T  # (n_r, n_c)
+
+    from ovr_tpu.core.sampling import classify, opacity_correction
+
+    def body(t_prev, k):
+        # plane k (sweep index, 0 = light face); its shadow segment goes
+        # from plane k to plane k-1 (toward the light): midpoint at
+        # qa_mid = qa[k] - dq/2, laterally advanced by half a drift step
+        qa_k = (k.astype(dt) + 0.5) * dq
+        s1m = drift1 * (-0.5 * dq)
+        s2m = drift2 * (-0.5 * dq)
+        smp = sample_plane(qa_k - 0.5 * dq, s1m, s2m)
+        _, a = classify(color_table, alpha_table, value_range, smp)
+        a = opacity_correction(a, base, jnp.asarray(step_world, dt))
+        t_here = shift_T(t_prev, drift1 * (-dq), drift2 * (-dq)) * (1.0 - a)
+        return t_here, 1.0 - t_here  # accumulate alpha = 1 - T
+
+    t0 = jnp.ones((n_r, n_c), dt)
+    _, alphas = jax.lax.scan(body, t0, jnp.arange(n_a))
+    # alphas[k] is the lattice plane at sweep index k (light face first);
+    # undo the view transform: sweep axis back to its world order
+    lat = alphas  # (n_a, n_r, n_c)
+    if sgn > 0:
+        lat = lat[::-1]
+    # current dims order: (axis, w2, w1) -> back to (z, y, x)
+    inv = np.argsort([2 - axis, 2 - w2, 2 - w1])
+    return jnp.transpose(lat, tuple(inv))
 
 
 def default_resolution(vol_shape, cap: int = 128) -> tuple[int, int, int]:

@@ -78,6 +78,9 @@ class SwStatic:
     separable: bool = False
     row_chunk: int = 16  # rows per batched-warp weight chunk
     bf16: bool = False  # bfloat16 matmul operands (f32 accumulate)
+    # fuse the unshaded slice loop into the Pallas kernel (ops.swslice);
+    # backward still runs the over_scan adjoint
+    pallas: bool = False
 
 
 def _np_basis(camera, width, height):
@@ -116,6 +119,8 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
             lt.kind in ("directional", "point", "sunsky")
             for lt in getattr(scene, "lights", ())):
         return None  # extra shading lights: only the march shades them
+    if cfg.shading == "shadow" and not cfg.shadow_grid:
+        return None  # per-sample shadow *march* stays on the march path
     try:
         d, h, v = _np_basis(camera, cfg.width, cfg.height)
     except Exception:
@@ -156,9 +161,13 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
     rnd = lambda x: int(-(-x // 8) * 8)
     wi = rnd(min(cap, max(64, 2 * dims_xyz[perp[0]])))
     hi_i = rnd(min(cap, max(64, 2 * dims_xyz[perp[1]])))
+    import jax
+
+    pallas = bool(cfg.sw_pallas) and jax.default_backend() == "tpu"
     return SwStatic(axis=axis, sign=sign, n_slices=n_slices,
                     inter_h=hi_i, inter_w=wi, swap=swap,
-                    separable=separable, bf16=bool(cfg.sw_bf16))
+                    separable=separable, bf16=bool(cfg.sw_bf16),
+                    pallas=pallas)
 
 
 # ---------------------------------------------------------------------------
@@ -291,11 +300,48 @@ def _classify_dense(smp, rgba_tab, value_range, bf16: bool):
     return rgba[..., :3], rgba[..., 3]
 
 
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused_none(f, n_s, shape_hw, params):
+    """Unshaded slice loop: forward = the fused Pallas kernel
+    (ops.swslice), backward = recompute through the bounded-memory
+    over_scan adjoint on the same step function. Returns (5, Hi, Wi)
+    premultiplied [r, g, b, depth, alpha]."""
+    from ovr_tpu.ops import swslice
+    hi_i, wi_i = shape_hw
+    pg = params["pg"]
+    pad = (-wi_i) % swslice.LANES
+    if pad:
+        pg = jnp.concatenate([pg, jnp.broadcast_to(pg[-1:], (pad,))])
+    out = swslice.slice_composite_pallas(
+        params["grid"], params["tab"], params["sc"], pg, params["qg"],
+        params["k0f"].astype(jnp.int32), n_s)
+    return out[:, :, :wi_i]
+
+
+def _fused_none_fwd(f, n_s, shape_hw, params):
+    return _fused_none(f, n_s, shape_hw, params), params
+
+
+def _fused_none_bwd(f, n_s, shape_hw, params, cot):
+    from ovr_tpu.ops.adjoint import over_scan
+    v_bar = jnp.moveaxis(cot[0:4], 0, -1)  # (Hi, Wi, 4)
+    t_bar = -cot[4]  # alpha = 1 - T
+    _, vjp = jax.vjp(lambda p: over_scan(f, n_s, p), params)
+    (p_bar,) = vjp((v_bar, t_bar))
+    return (p_bar,)
+
+
+_fused_none.defvjp(_fused_none_fwd, _fused_none_bwd)
+
+
 # ---------------------------------------------------------------------------
 # the renderer
 # ---------------------------------------------------------------------------
 
-def render_shearwarp(scene, cfg, camera, jitter=None):
+def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None):
     """Render one frame. Returns premultiplied (color (N,3), grad (N,3),
     depth (N,), alpha (N,)) flat screen buffers, matching the march
     integrators' contract (finalize with `integrator.finalize`).
@@ -303,6 +349,8 @@ def render_shearwarp(scene, cfg, camera, jitter=None):
     `jitter`: optional scalar in [0,1) shifting every sample plane by that
     fraction of the plane spacing (the dense analogue of per-ray t-jitter,
     `OVR_OPTIX7_JITTER_RAYS`); default 0.5 = plane centers.
+    `light_grid`: shadow-alpha lattice over object space
+    (api.build_light_grid) — required for cfg.shading == 'shadow'.
     """
     sw: SwStatic = cfg.sw
     assert sw is not None, "cfg.sw unresolved; call cfg.resolved(scene)"
@@ -450,11 +498,30 @@ def render_shearwarp(scene, cfg, camera, jitter=None):
             v = jnp.concatenate([jnp.clip(rgb, 0.0, 1.0), t_j], axis=-1)
             return v, a
 
-        big_v, trans = over_scan(f, n_s, params)
-        color = big_v[..., :3]
-        depth = big_v[..., 3]
+        if sw.pallas:
+            # scalar vector for ops.swslice (S_* layout)
+            from ovr_tpu.ops import swslice
+            vscale = 1.0 / (value_range[1] - value_range[0])
+            lam0 = lam[0] - off * dz * dlam
+            params["sc"] = jnp.stack([
+                lo1, ex1, lo2, ex2, e[w1], e[w2],
+                direction[w1] if ortho else jnp.zeros((), dt),
+                direction[w2] if ortho else jnp.zeros((), dt),
+                half, dz, off, value_range[0], vscale, base,
+                lam0, jnp.asarray(float(n_a), dt),
+                jnp.asarray(dlam, dt), ext[axis],
+                jnp.asarray(1.0 if ortho else 0.0, dt),
+                jnp.zeros((), dt)])
+            out5 = _fused_none(f, n_s, (hi_i, wi_i), params)
+            color = jnp.moveaxis(out5[0:3], 0, -1)
+            depth = out5[3]
+            alpha = out5[4]
+        else:
+            big_v, trans = over_scan(f, n_s, params)
+            color = big_v[..., :3]
+            depth = big_v[..., 3]
+            alpha = 1.0 - trans
         grad = jnp.zeros((hi_i, wi_i, 3), dt)
-        alpha = 1.0 - trans
         return _sw_warp_out(color, grad, depth, alpha, cfg, camera, sw,
                             p_scr, q_scr, p_lo, q_lo, dp, dq, pg, u, v,
                             e, direction, horizontal, vertical, axis,
@@ -464,10 +531,17 @@ def render_shearwarp(scene, cfg, camera, jitter=None):
     y_cam = safe_normalize(vertical)
     wtc = jnp.stack([x_cam, y_cam, -direction])  # world->camera rows
     intensity = 2.0  # light_rgb, shaders_raymarching.cu:138
+    shadowed = cfg.shading == "shadow" and light_grid is not None
+    if shadowed:
+        # shadow-alpha lattice spans object [0,1]^3 like the volume: view
+        # it along the same principal axis and resample each plane with
+        # the slice machinery (one z-lerp + two interp matmuls)
+        lgrid = _volume_view(light_grid, axis, sign)
+        l_a, l_r, l_c = lgrid.shape
 
     def body(carry, xs):
         color, grad, depth, trans, prev_s = carry
-        j_idx, lam_j, k0_j, fz_j = xs
+        j_idx, lam_j, k0_j, fz_j, zrel_j = xs
         sl = jax.lax.dynamic_slice(grid, (k0_j, 0, 0), (2, n_r, n_c))
         plane = sl[0] * (1.0 - fz_j) + sl[1] * fz_j  # (Nr, Nc)
 
@@ -511,7 +585,24 @@ def render_shearwarp(scene, cfg, camera, jitter=None):
             n_world = safe_normalize(-g)
             n_cam = safe_normalize(jnp.einsum("ij,...j->...i", wtc, n_world))
             cos_nl = jnp.abs(jnp.sum(light_dir * n_world, axis=-1))
-            shade = 0.5 + 0.5 * cos_nl * intensity
+            if shadowed:
+                # per-sample shadow from the light-transmittance lattice
+                # (the march's shadow_grid mode), resampled densely
+                cz = jnp.clip(zrel_j / ext[axis] * l_a - 0.5,
+                              0.0, l_a - 1.0)
+                kl = jnp.clip(jnp.floor(cz).astype(jnp.int32), 0, l_a - 2)
+                fl = cz - kl.astype(dt)
+                sll = jax.lax.dynamic_slice(lgrid, (kl, 0, 0),
+                                            (2, l_r, l_c))
+                lplane = sll[0] * (1.0 - fl) + sll[1] * fl
+                lwc = _interp_matrix((x1 - lo1) / ex1 * l_c - 0.5, l_c)
+                lwr = _interp_matrix((x2 - lo2) / ex2 * l_r - 0.5, l_r)
+                sh = _mm(_mm(lwr, lplane, sw.bf16), lwc.T,
+                         sw.bf16).astype(dt)
+                shadow = jnp.clip(sh, 0.0, 1.0)
+            else:
+                shadow = 0.0
+            shade = 0.5 + 0.5 * cos_nl * intensity * (1.0 - shadow)
             rgb = rgb * shade[..., None]
         else:
             n_cam = jnp.zeros((hi_i, wi_i, 3), dt)
@@ -527,7 +618,7 @@ def render_shearwarp(scene, cfg, camera, jitter=None):
     z1 = jnp.zeros((hi_i, wi_i), dt)
     (color, grad, depth, trans, _), _ = jax.lax.scan(
         body, (z3, z3, z1, jnp.ones((hi_i, wi_i), dt), z1),
-        (jnp.arange(n_s, dtype=jnp.int32), lam, k0, fz))
+        (jnp.arange(n_s, dtype=jnp.int32), lam, k0, fz, z_rel))
     alpha = 1.0 - trans
     return _sw_warp_out(color, grad, depth, alpha, cfg, camera, sw,
                         p_scr, q_scr, p_lo, q_lo, dp, dq, pg, u, v,

@@ -119,6 +119,83 @@ class TestParity:
         g = np.asarray(fs.grad)
         assert g.min() >= 0.0 and g.max() <= 1.0 + 1e-5
 
+    def test_shadow_shading_via_light_grid(self, small_grid):
+        """'shadow' runs in the fast path using the same light-transmittance
+        lattice as the march's shadow_grid mode — parity against it."""
+        cam = Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5),
+                            fovy=45.0)
+        scene = _scene(small_grid, cam)
+        fm, fs = _render_pair(scene, shading="shadow", rate=32.0)
+        pm, am = _premult(fm)
+        ps, _ = _premult(fs)
+        interior = _interior_mask(am)
+        err = np.abs(pm - ps).max(-1)[interior]
+        assert np.quantile(err, 0.95) < 0.08
+
+    def test_pallas_fused_slices_match_overscan(self, small_grid):
+        """The fused Pallas slice kernel (interpret mode on CPU) matches
+        the over_scan reference bit-closely."""
+        cam = Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5),
+                            fovy=45.0)
+        scene = _scene(small_grid, cam)
+        cfg = api.RenderConfig(width=32, height=24, sampling_rate=16.0,
+                               shading="none",
+                               method="shearwarp").resolved(scene)
+        assert not cfg.sw.pallas  # CPU backend: XLA path by default
+        ref = api.render(scene, cfg)
+        cfg_p = dataclasses.replace(
+            cfg, sw=dataclasses.replace(cfg.sw, pallas=True))
+        out = api.render(scene, cfg_p)
+        np.testing.assert_allclose(np.asarray(out.rgba),
+                                   np.asarray(ref.rgba), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out.depth),
+                                   np.asarray(ref.depth), atol=1e-4)
+
+    def test_pallas_gradients_route_through_adjoint(self, small_grid):
+        cam = Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5))
+        scene = _scene(small_grid, cam)
+        cfg = api.RenderConfig(width=16, height=16, sampling_rate=12.0,
+                               shading="none",
+                               method="shearwarp").resolved(scene)
+        cfg_p = dataclasses.replace(
+            cfg, sw=dataclasses.replace(cfg.sw, pallas=True))
+
+        def loss(alpha, c):
+            sc = dataclasses.replace(
+                scene, tfn=dataclasses.replace(scene.tfn, alpha=alpha))
+            frame = api.render(sc, c)
+            return jnp.sum(frame.rgba ** 2)
+
+        g_ref = np.asarray(jax.grad(loss)(scene.tfn.alpha, cfg))
+        g_pal = np.asarray(jax.grad(loss)(scene.tfn.alpha, cfg_p))
+        scale = np.abs(g_ref).max() + 1e-9
+        np.testing.assert_allclose(g_pal / scale, g_ref / scale, atol=1e-3)
+
+    def test_swept_light_grid_matches_fine_march(self, small_grid):
+        """The dense light-axis sweep reproduces a finely-sampled shadow
+        march (it replaces the gather-heavy per-lattice-point march)."""
+        import jax.numpy as jnp
+
+        from ovr_tpu.render import integrator as ig
+        from ovr_tpu.render import lightgrid
+
+        scene = simple_scene(small_grid)
+        leaves = (scene.volume.grid, scene.tfn.color, scene.tfn.alpha,
+                  scene.tfn.value_range, jnp.ones(()))
+        ld = np.asarray([-0.4, 1.0, -0.2])
+        ld = ld / np.linalg.norm(ld)
+        mcfg = ig.MarchConfig(max_steps=1, shading="shadow",
+                              shadow_scale=1.0, shadow_max_steps=120)
+        res = (24, 24, 24)
+        fine = lightgrid.build_light_grid(
+            leaves, jnp.asarray(ld, jnp.float32), scene.volume.world_lo,
+            scene.volume.world_hi, jnp.asarray(1.0 / 48), mcfg, res)
+        swept = lightgrid.build_light_grid_swept(
+            leaves, ld, scene.volume.world_lo, scene.volume.world_hi,
+            mcfg, res)
+        d = np.abs(np.asarray(fine) - np.asarray(swept))
+        assert d.mean() < 0.03 and d.max() < 0.15
+
     def test_empty_rays_are_transparent(self, small_grid):
         cam = Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5),
                             fovy=120.0)  # wide: corners miss the box
@@ -137,11 +214,16 @@ class TestEligibility:
             api.RenderConfig(method="shearwarp",
                              shading="none").resolved(scene)
 
-    def test_shadow_shading_falls_back(self, small_grid):
+    def test_shadow_eligibility(self, small_grid):
         cam = Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5))
         scene = _scene(small_grid, cam)
+        # lattice-based shadows run in the fast path...
         cfg = api.RenderConfig(method="auto", shading="shadow"
                                ).resolved(scene)
+        assert cfg.sw is not None
+        # ...the per-sample shadow *march* stays on the march path
+        cfg = api.RenderConfig(method="auto", shading="shadow",
+                               shadow_grid=False).resolved(scene)
         assert cfg.sw is None
 
     def test_auto_picks_shearwarp_when_eligible(self, small_grid):
