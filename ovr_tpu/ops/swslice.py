@@ -1,9 +1,9 @@
 """Fused shear-warp slice loop as a single Pallas TPU kernel.
 
 The XLA version of the slice loop (render.shearwarp) writes its carry
-(color/depth/transmittance over the intermediate grid) to HBM every slice
-and materializes each resampled plane and its classification. This kernel
-fuses the whole loop:
+(color/gradient/depth/transmittance over the intermediate grid) to HBM
+every slice and materializes each resampled plane and its classification.
+This kernel fuses the whole loop:
 
   grid = (column_tiles, n_slices)   # slices minor: executed sequentially
   per step: the plane's two voxel slabs stream HBM->VMEM (scalar-prefetched
@@ -14,17 +14,24 @@ fuses the whole loop:
   the result over-composites into a VMEM carry scratch that never leaves
   the chip. Outputs are written once, at the last slice of each tile.
 
-HBM traffic per frame ~= the volume planes + the final (5, Hi, Wi) buffers
-(vs ~3 GB of scan-carry traffic for the XLA version at 512^2 x 256).
+Shading modes (static):
+  0 none     — emission-absorption only
+  1 diffuse  — gradient shading; the world gradient is the *analytic*
+               derivative of the bilinear reconstruction, evaluated as two
+               extra matmuls with the interpolation matrices' derivative
+               (plus the along-ray difference for the axial component)
+  2 shadow   — diffuse + per-sample shadow from the light-transmittance
+               lattice, resampled with the same machinery (streamed like
+               the volume with its own prefetched z indices)
 
-Scope: the unshaded integrand (shading='none'; diffuse/shadow stay on the
-XLA paths). render.shearwarp wraps this in a custom VJP whose backward
-recomputes through the over_scan adjoint, so the fast forward remains
-differentiable with bounded memory.
+HBM traffic per frame ~= the volume (+ lattice) planes + the final
+(8, Hi, Wi) buffers, vs ~3 GB of scan-carry traffic for the XLA version at
+512^2 x 256 slices.
 
 Reference semantics fused: trilinear sampling (`shaders_common.h:186-193`,
 factorized per plane), TF classification (`:356-367`), opacity correction
-(`shaders_raymarching.cu:117-122`), front-to-back over (`:160-166`).
+(`shaders_raymarching.cu:117-122`), gradient shading + shadow modulation
+(`:125-159`), front-to-back over (`:160-166`).
 """
 
 from __future__ import annotations
@@ -39,11 +46,13 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128  # column-tile width = one vreg of lanes
 CHUNK = 128  # TF-table lanes per gather chunk
 
-# scalar vector layout (SMEM input, shape (1, 20))
+# scalar vector layout (SMEM input, shape (1, N_SCALARS))
 (S_LO1, S_EX1, S_LO2, S_EX2, S_EW1, S_EW2, S_DW1, S_DW2, S_HALF, S_DZ,
  S_OFF, S_VLO, S_VSCALE, S_BASE, S_LAM0, S_NA, S_DLAM, S_EXA,
- S_ORTHO, S_PAD) = range(20)
-N_SCALARS = 20
+ S_ORTHO, S_LD1, S_LD2, S_LDA, S_K1O, S_K2O, S_INVDA, S_DZDLAM, S_NLA,
+ S_W00, S_W01, S_W02, S_W10, S_W11, S_W12, S_W20, S_W21, S_W22,
+ S_PAD0, S_PAD1, S_PAD2, S_PAD3) = range(40)
+N_SCALARS = 40
 
 
 def _tf_gather(tab_ref, ch, idx, n_chunks):
@@ -60,17 +69,35 @@ def _tf_gather(tab_ref, ch, idx, n_chunks):
     return out
 
 
-def _kernel(k0_ref, vol0_ref, vol1_ref, pg_ref, qg_ref, tab_ref, sc_ref,
-            out_ref, carry, *, n_r, n_c, n_orig, n_chunks, hi_i):
-    """One (column tile, slice) grid step. carry: (5, Hi, LANES) VMEM
-    scratch rows [c_r, c_g, c_b, depth, trans]."""
+def _interp_w(pos, n):
+    """Hat-function interpolation weights (O, n) for clamped positions."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (pos.shape[0], n), 1
+                                 ).astype(jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - i))
+
+
+def _interp_dw(pos, n):
+    """d(weights)/d(pos): (O, n), -sign inside the unit support."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (pos.shape[0], n), 1
+                                 ).astype(jnp.float32)
+    d = pos[:, None] - i
+    return jnp.where((jnp.abs(d) < 1.0) & (jnp.abs(d) > 0.0),
+                     -jnp.sign(d), 0.0)
+
+
+def _kernel(k0_ref, k0l_ref, vol0_ref, vol1_ref, lg0_ref, lg1_ref, pg_ref,
+            qg_ref, tab_ref, sc_ref, out_ref, carry, *, n_r, n_c, n_orig,
+            n_chunks, hi_i, mode, l_r, l_c):
+    """One (column tile, slice) grid step. carry: (9, Hi, LANES) VMEM
+    scratch rows [c_r, c_g, c_b, g_x, g_y, g_z, depth, trans, prev_s]."""
     j = pl.program_id(1)
     n_slices = pl.num_programs(1)
 
     @pl.when(j == 0)
     def _init():
-        carry[0:4, :, :] = jnp.zeros((4, hi_i, LANES), jnp.float32)
-        carry[4, :, :] = jnp.ones((hi_i, LANES), jnp.float32)
+        carry[0:7, :, :] = jnp.zeros((7, hi_i, LANES), jnp.float32)
+        carry[7, :, :] = jnp.ones((hi_i, LANES), jnp.float32)
+        carry[8, :, :] = jnp.zeros((hi_i, LANES), jnp.float32)
 
     def sc(i):
         return sc_ref[0, i]
@@ -96,12 +123,8 @@ def _kernel(k0_ref, vol0_ref, vol1_ref, pg_ref, qg_ref, tab_ref, sc_ref,
     vr = jnp.clip((x2 - sc(S_LO2)) / sc(S_EX2) * n_r - 0.5, 0.0, n_r - 1.0)
 
     # interpolation matrices in registers; two MXU matmuls resample
-    ic = jax.lax.broadcasted_iota(jnp.int32, (LANES, n_c), 1
-                                  ).astype(jnp.float32)
-    ir = jax.lax.broadcasted_iota(jnp.int32, (hi_i, n_r), 1
-                                  ).astype(jnp.float32)
-    wc = jnp.maximum(0.0, 1.0 - jnp.abs(vc[:, None] - ic))  # (LANES, Nc)
-    wr = jnp.maximum(0.0, 1.0 - jnp.abs(vr[:, None] - ir))  # (Hi, Nr)
+    wc = _interp_w(vc, n_c)  # (LANES, Nc)
+    wr = _interp_w(vr, n_r)  # (Hi, Nr)
     t1 = jnp.dot(wr, plane, preferred_element_type=jnp.float32)  # (Hi, Nc)
     smp = jnp.dot(t1, wc.T, preferred_element_type=jnp.float32)  # (Hi, L)
 
@@ -161,27 +184,82 @@ def _kernel(k0_ref, vol0_ref, vol1_ref, pg_ref, qg_ref, tab_ref, sc_ref,
     a = jnp.where(dt_w > 0.0, a, 0.0)
     a = jnp.minimum(a, 1.0 - 1e-6)  # over_scan's A_MAX (VJP consistency)
 
-    trans = carry[4, :, :]
+    if mode >= 1:
+        # analytic bilinear-derivative gradient (world units)
+        dwc = _interp_dw(vc, n_c)
+        dwr = _interp_dw(vr, n_r)
+        g1 = jnp.dot(t1, dwc.T, preferred_element_type=jnp.float32
+                     ) * (n_c / sc(S_EX1))
+        t1r = jnp.dot(dwr, plane, preferred_element_type=jnp.float32)
+        g2 = jnp.dot(t1r, wc.T, preferred_element_type=jnp.float32
+                     ) * (n_r / sc(S_EX2))
+        prev_s = carry[8, :, :]
+        ds = jnp.where(j > 0, (smp - prev_s) / sc(S_DZDLAM), 0.0)
+        k1 = jnp.where(ortho, sc(S_K1O), pp)
+        k2 = jnp.where(ortho, sc(S_K2O), qq)
+        ga = (ds - g1 * k1 - g2 * k2) * sc(S_INVDA)
+        n1, n2, na = -g1, -g2, -ga
+        inv = jax.lax.rsqrt(n1 * n1 + n2 * n2 + na * na + 1e-12)
+        cos_nl = jnp.abs(sc(S_LD1) * n1 + sc(S_LD2) * n2
+                         + sc(S_LDA) * na) * inv
+        if mode == 2:
+            cl = jnp.clip(z_rel / sc(S_EXA) * sc(S_NLA) - 0.5, 0.0,
+                          sc(S_NLA) - 1.0)
+            kl = jnp.clip(jnp.floor(cl), 0.0, sc(S_NLA) - 2.0)
+            fzl = cl - kl
+            lplane = lg0_ref[0] * (1.0 - fzl) + lg1_ref[0] * fzl
+            lvc = jnp.clip((x1 - sc(S_LO1)) / sc(S_EX1) * l_c - 0.5, 0.0,
+                           l_c - 1.0)
+            lvr = jnp.clip((x2 - sc(S_LO2)) / sc(S_EX2) * l_r - 0.5, 0.0,
+                           l_r - 1.0)
+            lt = jnp.dot(_interp_w(lvr, l_r), lplane,
+                         preferred_element_type=jnp.float32)
+            sh = jnp.dot(lt, _interp_w(lvc, l_c).T,
+                         preferred_element_type=jnp.float32)
+            shadow = jnp.clip(sh, 0.0, 1.0)
+        else:
+            shadow = 0.0
+        shade = 0.5 + cos_nl * (1.0 - shadow)  # 0.5*cos*intensity(=2)
+        r = jnp.clip(r * shade, 0.0, 1.0)
+        g = jnp.clip(g * shade, 0.0, 1.0)
+        b = jnp.clip(b * shade, 0.0, 1.0)
+        nu1, nu2, nua = n1 * inv, n2 * inv, na * inv
+        ncx = jnp.clip(sc(S_W00) * nu1 + sc(S_W01) * nu2 + sc(S_W02) * nua,
+                       0.0, 1.0)
+        ncy = jnp.clip(sc(S_W10) * nu1 + sc(S_W11) * nu2 + sc(S_W12) * nua,
+                       0.0, 1.0)
+        ncz = jnp.clip(sc(S_W20) * nu1 + sc(S_W21) * nu2 + sc(S_W22) * nua,
+                       0.0, 1.0)
+
+    trans = carry[7, :, :]
     aw = trans * a
     carry[0, :, :] += aw * r
     carry[1, :, :] += aw * g
     carry[2, :, :] += aw * b
-    carry[3, :, :] += aw * (lam * speed)
-    carry[4, :, :] = trans * (1.0 - a)
+    if mode >= 1:
+        carry[3, :, :] += aw * ncx
+        carry[4, :, :] += aw * ncy
+        carry[5, :, :] += aw * ncz
+        carry[8, :, :] = smp
+    carry[6, :, :] += aw * (lam * speed)
+    carry[7, :, :] = trans * (1.0 - a)
 
     @pl.when(j == n_slices - 1)
     def _emit():
-        out_ref[0:4, :, :] = carry[0:4, :, :]
-        out_ref[4, :, :] = 1.0 - carry[4, :, :]
+        out_ref[0:7, :, :] = carry[0:7, :, :]
+        out_ref[7, :, :] = 1.0 - carry[7, :, :]
 
 
 def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
-                           n_slices: int, interpret=None):
+                           n_slices: int, mode: int = 0, lgrid=None,
+                           k0l=None, interpret=None):
     """Run the fused slice loop. grid_v (A, Nr, Nc) traversal-ordered
     volume; rgba_tab (K, 4) merged nodal table; scalars (N_SCALARS,) f32
     (S_* layout); pg (Wi,), qg (Hi,); k0 (n_slices,) int32 slab indices
-    (clip(floor(c), 0, A-2)). Returns (5, Hi, Wi): premultiplied r, g, b,
-    depth and alpha."""
+    (clip(floor(c), 0, A-2)); mode 0/1/2 = none/diffuse/shadow; lgrid
+    (La, Lr, Lc) traversal-ordered shadow lattice + its k0l for mode 2.
+    Returns (8, Hi, Wi): premultiplied r, g, b, grad_cam xyz, depth, alpha.
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n_a, n_r, n_c = grid_v.shape
@@ -195,43 +273,57 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
     n_chunks = tab.shape[0] // CHUNK
     tab = tab.T.reshape(4, n_chunks, 1, CHUNK)
 
+    if lgrid is None:
+        lgrid = jnp.zeros((2, 8, 128), jnp.float32)
+        k0l = jnp.zeros((n_slices,), jnp.int32)
+    l_a, l_r, l_c = lgrid.shape
+
     assert wi_i % LANES == 0, wi_i
     n_tiles = wi_i // LANES
 
     kernel = functools.partial(
         _kernel, n_r=n_r, n_c=n_c, n_orig=n_orig, n_chunks=n_chunks,
-        hi_i=hi_i)
+        hi_i=hi_i, mode=mode, l_r=l_r, l_c=l_c)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles, n_slices),
         in_specs=[
-            pl.BlockSpec((1, n_r, n_c), lambda t, j, k0_: (k0_[j], 0, 0),
+            pl.BlockSpec((1, n_r, n_c),
+                         lambda t, j, k0_, kl_: (k0_[j], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_r, n_c),
-                         lambda t, j, k0_: (k0_[j] + 1, 0, 0),
+                         lambda t, j, k0_, kl_: (k0_[j] + 1, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda t, j, k0_: (0, t),
+            pl.BlockSpec((1, l_r, l_c),
+                         lambda t, j, k0_, kl_: (kl_[j], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hi_i, 1), lambda t, j, k0_: (0, 0),
+            pl.BlockSpec((1, l_r, l_c),
+                         lambda t, j, k0_, kl_: (
+                             jnp.minimum(kl_[j] + 1, l_a - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda t, j, k0_, kl_: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hi_i, 1), lambda t, j, k0_, kl_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, n_chunks, 1, CHUNK),
-                         lambda t, j, k0_: (0, 0, 0, 0),
+                         lambda t, j, k0_, kl_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N_SCALARS), lambda t, j, k0_: (0, 0),
+            pl.BlockSpec((1, N_SCALARS), lambda t, j, k0_, kl_: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((5, hi_i, LANES),
-                               lambda t, j, k0_: (0, 0, t),
+        out_specs=pl.BlockSpec((8, hi_i, LANES),
+                               lambda t, j, k0_, kl_: (0, 0, t),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((5, hi_i, LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((9, hi_i, LANES), jnp.float32)],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((5, hi_i, wi_i), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, hi_i, wi_i), jnp.float32),
         interpret=interpret,
-    )(k0.astype(jnp.int32), grid_v.astype(jnp.float32),
-      grid_v.astype(jnp.float32),
+    )(k0.astype(jnp.int32), k0l.astype(jnp.int32),
+      grid_v.astype(jnp.float32), grid_v.astype(jnp.float32),
+      lgrid.astype(jnp.float32), lgrid.astype(jnp.float32),
       pg.astype(jnp.float32).reshape(1, wi_i),
       qg.astype(jnp.float32).reshape(hi_i, 1), tab,
       scalars.astype(jnp.float32).reshape(1, N_SCALARS))

@@ -303,21 +303,46 @@ def _classify_dense(smp, rgba_tab, value_range, bf16: bool):
 from functools import partial
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _fused_none(f, n_s, shape_hw, params):
-    """Unshaded slice loop: forward = the fused Pallas kernel
-    (ops.swslice), backward = recompute through the bounded-memory
-    over_scan adjoint on the same step function. Returns (5, Hi, Wi)
-    premultiplied [r, g, b, depth, alpha]."""
+def _kernel_scalars(dt, *, lo1, ex1, lo2, ex2, e1, e2, dw1, dw2, half, dz,
+                    off, vr, base, lam0, n_a, dlam, exa, ortho,
+                    ld=(0.0, 0.0, 0.0), k1o=0.0, k2o=0.0, inv_da=0.0,
+                    dzdlam=1.0, n_la=2.0, wtcp=None):
+    """Assemble the ops.swslice scalar vector (S_* layout)."""
     from ovr_tpu.ops import swslice
-    hi_i, wi_i = shape_hw
-    pg = params["pg"]
+    z = jnp.zeros((), dt)
+    if wtcp is None:
+        wtcp = jnp.zeros((3, 3), dt)
+    vals = [lo1, ex1, lo2, ex2, e1, e2, dw1, dw2, half, dz, off, vr[0],
+            1.0 / (vr[1] - vr[0]), base, lam0,
+            jnp.asarray(float(n_a), dt), jnp.asarray(dlam, dt), exa,
+            jnp.asarray(1.0 if ortho else 0.0, dt),
+            ld[0], ld[1], ld[2], k1o, k2o, inv_da, dzdlam, n_la,
+            wtcp[0, 0], wtcp[0, 1], wtcp[0, 2],
+            wtcp[1, 0], wtcp[1, 1], wtcp[1, 2],
+            wtcp[2, 0], wtcp[2, 1], wtcp[2, 2], z, z, z, z]
+    assert len(vals) == swslice.N_SCALARS
+    return jnp.stack([jnp.asarray(x, dt) for x in vals])
+
+
+def _pad_lanes(pg, wi_i):
+    from ovr_tpu.ops import swslice
     pad = (-wi_i) % swslice.LANES
     if pad:
         pg = jnp.concatenate([pg, jnp.broadcast_to(pg[-1:], (pad,))])
+    return pg
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused_none(f, n_s, shape_hw, params):
+    """Unshaded slice loop: forward = the fused Pallas kernel
+    (ops.swslice, mode 0), backward = recompute through the bounded-memory
+    over_scan adjoint on the same step function. Returns (8, Hi, Wi)."""
+    from ovr_tpu.ops import swslice
+    hi_i, wi_i = shape_hw
     out = swslice.slice_composite_pallas(
-        params["grid"], params["tab"], params["sc"], pg, params["qg"],
-        params["k0f"].astype(jnp.int32), n_s)
+        params["grid"], params["tab"], params["sc"],
+        _pad_lanes(params["pg"], wi_i), params["qg"],
+        params["k0f"].astype(jnp.int32), n_s, mode=0)
     return out[:, :, :wi_i]
 
 
@@ -327,14 +352,131 @@ def _fused_none_fwd(f, n_s, shape_hw, params):
 
 def _fused_none_bwd(f, n_s, shape_hw, params, cot):
     from ovr_tpu.ops.adjoint import over_scan
-    v_bar = jnp.moveaxis(cot[0:4], 0, -1)  # (Hi, Wi, 4)
-    t_bar = -cot[4]  # alpha = 1 - T
+    v_bar = jnp.concatenate(
+        [jnp.moveaxis(cot[0:3], 0, -1), cot[6][..., None]], axis=-1)
+    t_bar = -cot[7]  # alpha = 1 - T
     _, vjp = jax.vjp(lambda p: over_scan(f, n_s, p), params)
     (p_bar,) = vjp((v_bar, t_bar))
     return (p_bar,)
 
 
 _fused_none.defvjp(_fused_none_fwd, _fused_none_bwd)
+
+
+def _slices_xla_shaded(st, P):
+    """Shaded (diffuse/shadow) slice loop in XLA — the semantic reference
+    for the fused kernel's shaded modes and its gradient path. Returns
+    premultiplied (color (Hi,Wi,3), grad_cam (Hi,Wi,3), depth, alpha)."""
+    from ovr_tpu.ops.swslice import _interp_dw
+    sw, ortho, mode = st
+    grid = P["grid"]
+    n_a, n_r, n_c = grid.shape
+    dt = P["pg"].dtype
+    hi_i = P["qg"].shape[0]
+    wi_i = P["pg"].shape[0]
+    lgrid = P.get("lgrid")
+
+    def body(carry, xs):
+        color, gradc, depth, trans, prev_s = carry
+        j, lam_j, k0_j, fz_j, zrel_j, k0l_j, fzl_j = xs
+        sl = jax.lax.dynamic_slice(grid, (k0_j, 0, 0), (2, n_r, n_c))
+        plane = sl[0] * (1.0 - fz_j) + sl[1] * fz_j
+        if ortho:
+            x1 = P["pg"] + P["dw1"] * lam_j
+            x2 = P["qg"] + P["dw2"] * lam_j
+        else:
+            x1 = P["ew1"] + P["pg"] * lam_j
+            x2 = P["ew2"] + P["qg"] * lam_j
+        vc = jnp.clip((x1 - P["lo1"]) / P["ex1"] * n_c - 0.5, 0.0,
+                      n_c - 1.0)
+        vr = jnp.clip((x2 - P["lo2"]) / P["ex2"] * n_r - 0.5, 0.0,
+                      n_r - 1.0)
+        wc = _interp_matrix(vc, n_c)
+        wr = _interp_matrix(vr, n_r)
+        t1 = _mm(wr, plane, sw.bf16)
+        smp = _mm(t1, wc.T, sw.bf16).astype(dt)
+        seg_lo = jnp.maximum(lam_j - P["half"], P["lin"])
+        seg_hi = jnp.minimum(lam_j + P["half"], P["lout"])
+        dt_w = jnp.maximum(seg_hi - seg_lo, 0.0) * P["speed"]
+        rgb, a = _classify_dense(smp, P["tab"], P["vr"], sw.bf16)
+        a = jnp.where(dt_w > 0, opacity_correction(a, P["base"], dt_w), 0.0)
+        a = jnp.minimum(a, 1.0 - 1e-6)
+
+        # analytic bilinear-derivative world gradient
+        dwc = _interp_dw(vc, n_c).astype(dt)
+        dwr = _interp_dw(vr, n_r).astype(dt)
+        g1 = _mm(t1, dwc.T, sw.bf16) * (n_c / P["ex1"])
+        g2 = _mm(_mm(dwr, plane, sw.bf16), wc.T, sw.bf16) * (n_r / P["ex2"])
+        ds = jnp.where(j > 0, (smp - prev_s) / P["dzdlam"], 0.0)
+        ga = (ds - g1 * P["k1"] - g2 * P["k2"]) * P["inv_da"]
+        n1, n2, na = -g1, -g2, -ga
+        inv = jax.lax.rsqrt(n1 * n1 + n2 * n2 + na * na + 1e-12)
+        cos_nl = jnp.abs(P["ld1"] * n1 + P["ld2"] * n2
+                         + P["lda"] * na) * inv
+        if mode == 2:
+            l_a, l_r, l_c = lgrid.shape
+            sll = jax.lax.dynamic_slice(lgrid, (k0l_j, 0, 0),
+                                        (2, l_r, l_c))
+            lplane = sll[0] * (1.0 - fzl_j) + sll[1] * fzl_j
+            lvc = jnp.clip((x1 - P["lo1"]) / P["ex1"] * l_c - 0.5, 0.0,
+                           l_c - 1.0)
+            lvr = jnp.clip((x2 - P["lo2"]) / P["ex2"] * l_r - 0.5, 0.0,
+                           l_r - 1.0)
+            sh = _mm(_mm(_interp_matrix(lvr, l_r), lplane, sw.bf16),
+                     _interp_matrix(lvc, l_c).T, sw.bf16)
+            shadow = jnp.clip(sh, 0.0, 1.0).astype(dt)
+        else:
+            shadow = 0.0
+        shade = 0.5 + cos_nl * (1.0 - shadow)  # 0.5 * cos * intensity(=2)
+        rgb = jnp.clip(rgb * shade[..., None], 0.0, 1.0)
+        nu = jnp.stack([n1 * inv, n2 * inv, na * inv], -1)  # (Hi, Wi, 3)
+        ncam = jnp.clip(jnp.einsum("ij,hwj->hwi", P["wtcp"], nu), 0.0, 1.0)
+
+        aw = (trans * a)[..., None]
+        color = color + aw * rgb
+        gradc = gradc + aw * ncam
+        depth = depth + aw[..., 0] * (lam_j * P["speed"])
+        trans = trans * (1.0 - a)
+        return (color, gradc, depth, trans, smp), None
+
+    z3 = jnp.zeros((hi_i, wi_i, 3), dt)
+    z1 = jnp.zeros((hi_i, wi_i), dt)
+    xs = (jnp.arange(P["lam"].shape[0], dtype=jnp.int32), P["lam"],
+          P["k0f"].astype(jnp.int32), P["fz"], P["zrel"],
+          P["k0lf"].astype(jnp.int32), P["fzl"])
+    (color, gradc, depth, trans, _), _ = jax.lax.scan(
+        body, (z3, z3, z1, jnp.ones((hi_i, wi_i), dt), z1), xs)
+    return color, gradc, depth, 1.0 - trans
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_shaded(st, P):
+    """Shaded slice loop: forward = the fused Pallas kernel (modes 1/2),
+    backward = autodiff of the XLA reference (recompute)."""
+    from ovr_tpu.ops import swslice
+    sw, ortho, mode, n_s, hi_i, wi_i = st
+    out = swslice.slice_composite_pallas(
+        P["grid"], P["tab"], P["sc"], _pad_lanes(P["pg"], wi_i), P["qg"],
+        P["k0f"].astype(jnp.int32), n_s, mode=mode,
+        lgrid=P.get("lgrid"),
+        k0l=P["k0lf"].astype(jnp.int32) if "lgrid" in P else None)
+    out = out[:, :, :wi_i]
+    return (jnp.moveaxis(out[0:3], 0, -1), jnp.moveaxis(out[3:6], 0, -1),
+            out[6], out[7])
+
+
+def _fused_shaded_fwd(st, P):
+    return _fused_shaded(st, P), P
+
+
+def _fused_shaded_bwd(st, P, cot):
+    sw, ortho, mode, n_s, hi_i, wi_i = st
+    _, vjp = jax.vjp(lambda p: _slices_xla_shaded((sw, ortho, mode), p), P)
+    (p_bar,) = vjp(cot)
+    return (p_bar,)
+
+
+_fused_shaded.defvjp(_fused_shaded_fwd, _fused_shaded_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -499,23 +641,18 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None):
             return v, a
 
         if sw.pallas:
-            # scalar vector for ops.swslice (S_* layout)
-            from ovr_tpu.ops import swslice
-            vscale = 1.0 / (value_range[1] - value_range[0])
-            lam0 = lam[0] - off * dz * dlam
-            params["sc"] = jnp.stack([
-                lo1, ex1, lo2, ex2, e[w1], e[w2],
-                direction[w1] if ortho else jnp.zeros((), dt),
-                direction[w2] if ortho else jnp.zeros((), dt),
-                half, dz, off, value_range[0], vscale, base,
-                lam0, jnp.asarray(float(n_a), dt),
-                jnp.asarray(dlam, dt), ext[axis],
-                jnp.asarray(1.0 if ortho else 0.0, dt),
-                jnp.zeros((), dt)])
-            out5 = _fused_none(f, n_s, (hi_i, wi_i), params)
-            color = jnp.moveaxis(out5[0:3], 0, -1)
-            depth = out5[3]
-            alpha = out5[4]
+            zdt = jnp.zeros((), dt)
+            params["sc"] = _kernel_scalars(
+                dt, lo1=lo1, ex1=ex1, lo2=lo2, ex2=ex2, e1=e[w1], e2=e[w2],
+                dw1=direction[w1] if ortho else zdt,
+                dw2=direction[w2] if ortho else zdt,
+                half=half, dz=dz, off=off, vr=value_range, base=base,
+                lam0=lam[0] - off * dz * dlam, n_a=n_a, dlam=dlam,
+                exa=ext[axis], ortho=ortho)
+            out8 = _fused_none(f, n_s, (hi_i, wi_i), params)
+            color = jnp.moveaxis(out8[0:3], 0, -1)
+            depth = out8[6]
+            alpha = out8[7]
         else:
             big_v, trans = over_scan(f, n_s, params)
             color = big_v[..., :3]
@@ -526,100 +663,55 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None):
                             p_scr, q_scr, p_lo, q_lo, dp, dq, pg, u, v,
                             e, direction, horizontal, vertical, axis,
                             w1, w2, sign, ortho, dt)
+    # ---- shaded (diffuse/shadow) path -------------------------------------
     light_dir = safe_normalize(scene.light.direction)
-    x_cam = safe_normalize(horizontal)
-    y_cam = safe_normalize(vertical)
-    wtc = jnp.stack([x_cam, y_cam, -direction])  # world->camera rows
-    intensity = 2.0  # light_rgb, shaders_raymarching.cu:138
+    wtc = jnp.stack([safe_normalize(horizontal), safe_normalize(vertical),
+                     -direction])  # world->camera rows
     shadowed = cfg.shading == "shadow" and light_grid is not None
+    mode = 2 if shadowed else 1
+    zdt = jnp.zeros((), dt)
+    P = dict(
+        grid=grid, tab=rgba_tab, vr=value_range, base=base,
+        pg=pg, qg=qg, lin=l_in, lout=l_out, speed=speed,
+        lam=lam, fz=fz, k0f=k0.astype(dt), zrel=z_rel, half=half,
+        ew1=e[w1], ew2=e[w2], dw1=direction[w1], dw2=direction[w2],
+        lo1=lo1, lo2=lo2, ex1=ex1, ex2=ex2,
+        k1=k1_map, k2=k2_map, inv_da=jnp.asarray(inv_da, dt),
+        dzdlam=jnp.asarray(dz * dlam, dt),
+        ld1=light_dir[w1], ld2=light_dir[w2], lda=light_dir[axis],
+        wtcp=wtc[:, (w1, w2, axis)],
+    )
     if shadowed:
-        # shadow-alpha lattice spans object [0,1]^3 like the volume: view
-        # it along the same principal axis and resample each plane with
-        # the slice machinery (one z-lerp + two interp matmuls)
         lgrid = _volume_view(light_grid, axis, sign)
-        l_a, l_r, l_c = lgrid.shape
-
-    def body(carry, xs):
-        color, grad, depth, trans, prev_s = carry
-        j_idx, lam_j, k0_j, fz_j, zrel_j = xs
-        sl = jax.lax.dynamic_slice(grid, (k0_j, 0, 0), (2, n_r, n_c))
-        plane = sl[0] * (1.0 - fz_j) + sl[1] * fz_j  # (Nr, Nc)
-
-        # world coords of intermediate pixels on this plane (affine in P, Q)
-        if ortho:
-            x1 = pg + direction[w1] * lam_j
-            x2 = qg + direction[w2] * lam_j
-        else:
-            x1 = e[w1] + pg * lam_j
-            x2 = e[w2] + qg * lam_j
-        vc = (x1 - lo1) / ex1 * n_c - 0.5
-        vr = (x2 - lo2) / ex2 * n_r - 0.5
-        wc = _interp_matrix(vc, n_c)  # (Wi, Nc)
-        wr = _interp_matrix(vr, n_r)  # (Hi, Nr)
-        smp = _mm(_mm(wr, plane, sw.bf16), wc.T, sw.bf16).astype(dt)
-
-        # exact covered interval of this plane along the ray, box-clipped
-        seg_lo = jnp.maximum(lam_j - half, l_in)
-        seg_hi = jnp.minimum(lam_j + half, l_out)
-        dt_w = jnp.maximum(seg_hi - seg_lo, 0.0) * speed
-
-        rgb, a = _classify_dense(smp, rgba_tab, value_range, sw.bf16)
-        a = jnp.where(dt_w > 0, opacity_correction(a, base, dt_w), 0.0)
-
-        if diffuse:
-            sp1 = jnp.roll(smp, -1, 1) - jnp.roll(smp, 1, 1)
-            sp2 = jnp.roll(smp, -1, 0) - jnp.roll(smp, 1, 0)
-            if ortho:
-                g1 = sp1 / (2.0 * dp)
-                g2 = sp2 / (2.0 * dq)
-            else:
-                s_l = jnp.where(jnp.abs(lam_j) < 1e-6, 1e-6, lam_j)
-                g1 = sp1 / (2.0 * dp * s_l)
-                g2 = sp2 / (2.0 * dq * s_l)
-            ds = jnp.where(j_idx > 0, (smp - prev_s) / (dz * dlam), 0.0)
-            g_a = (ds - g1 * k1_map - g2 * k2_map) * inv_da
-            g = jnp.zeros((hi_i, wi_i, 3), dt)
-            g = g.at[..., w1].set(g1)
-            g = g.at[..., w2].set(g2)
-            g = g.at[..., axis].set(g_a)
-            n_world = safe_normalize(-g)
-            n_cam = safe_normalize(jnp.einsum("ij,...j->...i", wtc, n_world))
-            cos_nl = jnp.abs(jnp.sum(light_dir * n_world, axis=-1))
-            if shadowed:
-                # per-sample shadow from the light-transmittance lattice
-                # (the march's shadow_grid mode), resampled densely
-                cz = jnp.clip(zrel_j / ext[axis] * l_a - 0.5,
-                              0.0, l_a - 1.0)
-                kl = jnp.clip(jnp.floor(cz).astype(jnp.int32), 0, l_a - 2)
-                fl = cz - kl.astype(dt)
-                sll = jax.lax.dynamic_slice(lgrid, (kl, 0, 0),
-                                            (2, l_r, l_c))
-                lplane = sll[0] * (1.0 - fl) + sll[1] * fl
-                lwc = _interp_matrix((x1 - lo1) / ex1 * l_c - 0.5, l_c)
-                lwr = _interp_matrix((x2 - lo2) / ex2 * l_r - 0.5, l_r)
-                sh = _mm(_mm(lwr, lplane, sw.bf16), lwc.T,
-                         sw.bf16).astype(dt)
-                shadow = jnp.clip(sh, 0.0, 1.0)
-            else:
-                shadow = 0.0
-            shade = 0.5 + 0.5 * cos_nl * intensity * (1.0 - shadow)
-            rgb = rgb * shade[..., None]
-        else:
-            n_cam = jnp.zeros((hi_i, wi_i, 3), dt)
-
-        aw = (trans * a)[..., None]
-        color = color + aw * jnp.clip(rgb, 0.0, 1.0)
-        grad = grad + aw * jnp.clip(n_cam, 0.0, 1.0)
-        depth = depth + aw[..., 0] * (lam_j * speed)
-        trans = trans * (1.0 - a)
-        return (color, grad, depth, trans, smp), None
-
-    z3 = jnp.zeros((hi_i, wi_i, 3), dt)
-    z1 = jnp.zeros((hi_i, wi_i), dt)
-    (color, grad, depth, trans, _), _ = jax.lax.scan(
-        body, (z3, z3, z1, jnp.ones((hi_i, wi_i), dt), z1),
-        (jnp.arange(n_s, dtype=jnp.int32), lam, k0, fz, z_rel))
-    alpha = 1.0 - trans
+        l_a = lgrid.shape[0]
+        cl = jnp.clip(z_rel / ext[axis] * l_a - 0.5, 0.0, l_a - 1.0)
+        k0l = jnp.clip(jnp.floor(cl).astype(jnp.int32), 0, max(l_a - 2, 0))
+        P["lgrid"] = lgrid
+        P["k0lf"] = k0l.astype(dt)
+        P["fzl"] = cl - k0l.astype(dt)
+        n_la = float(l_a)
+    else:
+        P["k0lf"] = jnp.zeros((n_s,), dt)
+        P["fzl"] = jnp.zeros((n_s,), dt)
+        n_la = 2.0
+    if sw.pallas:
+        P["sc"] = _kernel_scalars(
+            dt, lo1=lo1, ex1=ex1, lo2=lo2, ex2=ex2, e1=e[w1], e2=e[w2],
+            dw1=direction[w1] if ortho else zdt,
+            dw2=direction[w2] if ortho else zdt,
+            half=half, dz=dz, off=off, vr=value_range, base=base,
+            lam0=lam[0] - off * dz * dlam, n_a=n_a, dlam=dlam,
+            exa=ext[axis], ortho=ortho,
+            ld=(light_dir[w1], light_dir[w2], light_dir[axis]),
+            k1o=direction[w1] if ortho else zdt,
+            k2o=direction[w2] if ortho else zdt,
+            inv_da=jnp.asarray(inv_da, dt),
+            dzdlam=jnp.asarray(dz * dlam, dt), n_la=n_la,
+            wtcp=wtc[:, (w1, w2, axis)])
+        color, grad, depth, alpha = _fused_shaded(
+            (sw, ortho, mode, n_s, hi_i, wi_i), P)
+    else:
+        color, grad, depth, alpha = _slices_xla_shaded((sw, ortho, mode), P)
     return _sw_warp_out(color, grad, depth, alpha, cfg, camera, sw,
                         p_scr, q_scr, p_lo, q_lo, dp, dq, pg, u, v,
                         e, direction, horizontal, vertical, axis,

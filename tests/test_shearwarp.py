@@ -151,6 +151,27 @@ class TestParity:
         np.testing.assert_allclose(np.asarray(out.depth),
                                    np.asarray(ref.depth), atol=1e-4)
 
+    def test_pallas_fused_shaded_matches_xla(self, small_grid):
+        """Modes 1 (diffuse) and 2 (shadow) of the fused kernel match the
+        XLA shaded slice loop (interpret mode on CPU)."""
+        cam = Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5),
+                            fovy=45.0)
+        scene = _scene(small_grid, cam)
+        for shading in ("diffuse", "shadow"):
+            cfg = api.RenderConfig(width=32, height=24, sampling_rate=16.0,
+                                   shading=shading,
+                                   method="shearwarp").resolved(scene)
+            ref = api.render(scene, cfg)
+            cfg_p = dataclasses.replace(
+                cfg, sw=dataclasses.replace(cfg.sw, pallas=True))
+            out = api.render(scene, cfg_p)
+            np.testing.assert_allclose(np.asarray(out.rgba),
+                                       np.asarray(ref.rgba), atol=5e-5,
+                                       err_msg=shading)
+            np.testing.assert_allclose(np.asarray(out.grad),
+                                       np.asarray(ref.grad), atol=5e-5,
+                                       err_msg=shading)
+
     def test_pallas_gradients_route_through_adjoint(self, small_grid):
         cam = Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5))
         scene = _scene(small_grid, cam)
