@@ -52,16 +52,21 @@ def _render_rows(scene: Scene, camera: Camera, cfg: api.RenderConfig,
 
 
 def render_sharded(scene: Scene, cfg: api.RenderConfig, mesh: Mesh,
-                   camera: Optional[Camera] = None) -> jnp.ndarray:
+                   camera: Optional[Camera] = None,
+                   light_grid=None) -> jnp.ndarray:
     """Render a full frame with image rows sharded over the tile axis.
 
     Returns (H, W, 4) with row-sharded layout (callers can `device_get` or
-    keep it distributed). Requires cfg.height % n_tiles == 0.
+    keep it distributed). Requires cfg.height % n_tiles == 0. Routes to the
+    shear-warp fast path when cfg carries a resolved plan (cfg.sw).
     """
     if camera is None:
         camera = scene.camera
     n_tiles = mesh.shape[TILE_AXIS]
     assert cfg.height % n_tiles == 0, "height must divide evenly over tiles"
+    if cfg.sw is not None:
+        return render_sharded_shearwarp(scene, cfg, mesh, camera,
+                                        light_grid)
     screen = pixel_screen_coords(cfg.width, cfg.height, cfg.dtype)
 
     fn = shard_map(
@@ -72,6 +77,48 @@ def render_sharded(scene: Scene, cfg: api.RenderConfig, mesh: Mesh,
         check_vma=False,
     )
     return fn(scene, camera, screen)
+
+
+def render_sharded_shearwarp(scene: Scene, cfg: api.RenderConfig,
+                             mesh: Mesh, camera: Optional[Camera] = None,
+                             light_grid=None) -> jnp.ndarray:
+    """Shear-warp rendering with screen-row bands sharded over the tile
+    axis. Each shard composites its own intermediate ray fan (shrunk to
+    the band's footprint, so per-shard compute scales ~1/n_tiles) and
+    warps it locally — no communication at all; the volume is replicated
+    like the march tile mode."""
+    from ovr_tpu.render import shearwarp as swr
+
+    if camera is None:
+        camera = scene.camera
+    n_tiles = mesh.shape[TILE_AXIS]
+    assert cfg.height % n_tiles == 0, "height must divide evenly over tiles"
+    hb = cfg.height // n_tiles
+    rnd8 = lambda x: max(8, int(-(-x // 8) * 8))
+    sw_band = dataclasses.replace(
+        cfg.sw, inter_h=rnd8(max(64, cfg.sw.inter_h // n_tiles)))
+    cfg_band = dataclasses.replace(cfg, sw=sw_band)
+
+    def body(s, c, lg):
+        row0 = jax.lax.axis_index(TILE_AXIS) * hb
+        color, grad, depth, alpha = swr.render_shearwarp(
+            s, cfg_band, c, light_grid=lg, row0=row0, n_rows=hb)
+        color, grad, depth, alpha = ig.finalize(color, grad, depth, alpha)
+        rgba = jnp.concatenate([color, alpha[..., None]], -1)
+        return rgba.reshape(hb, cfg.width, 4)
+
+    lg = (light_grid if light_grid is not None
+          else jnp.zeros((2, 2, 2), cfg.dtype))
+    use_lg = light_grid is not None
+
+    fn = shard_map(
+        lambda s, c, g: body(s, c, g if use_lg else None),
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(TILE_AXIS),
+        check_vma=False,
+    )
+    return fn(scene, camera, lg)
 
 
 @dataclasses.dataclass(frozen=True)

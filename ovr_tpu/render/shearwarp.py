@@ -483,7 +483,8 @@ _fused_shaded.defvjp(_fused_shaded_fwd, _fused_shaded_bwd)
 # the renderer
 # ---------------------------------------------------------------------------
 
-def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None):
+def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
+                     row0=None, n_rows=None):
     """Render one frame. Returns premultiplied (color (N,3), grad (N,3),
     depth (N,), alpha (N,)) flat screen buffers, matching the march
     integrators' contract (finalize with `integrator.finalize`).
@@ -493,6 +494,10 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None):
     `OVR_OPTIX7_JITTER_RAYS`); default 0.5 = plane centers.
     `light_grid`: shadow-alpha lattice over object space
     (api.build_light_grid) — required for cfg.shading == 'shadow'.
+    `row0`/`n_rows`: render only screen rows [row0, row0 + n_rows) of the
+    cfg.height frame — the multi-device tile split (parallel.tiles). The
+    intermediate ray fan shrinks to the band's footprint, so per-shard
+    compute scales with the band (pair with a reduced sw.inter_h).
     """
     sw: SwStatic = cfg.sw
     assert sw is not None, "cfg.sw unresolved; call cfg.resolved(scene)"
@@ -512,8 +517,10 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None):
 
     # ---- screen ray-fan coordinates --------------------------------------
     u = (jnp.arange(cfg.width, dtype=dt) + 0.5) / cfg.width - 0.5
-    v = (jnp.arange(cfg.height, dtype=dt) + 0.5) / cfg.height - 0.5
-    uu, vv = jnp.meshgrid(u, v, indexing="xy")  # (H, W)
+    nr_loc = cfg.height if n_rows is None else n_rows
+    base_row = jnp.asarray(0.0 if row0 is None else row0, dt)
+    v = (jnp.arange(nr_loc, dtype=dt) + 0.5 + base_row) / cfg.height - 0.5
+    uu, vv = jnp.meshgrid(u, v, indexing="xy")  # (H_band, W)
 
     if ortho:
         # lateral world offsets of each ray's origin (affine in u, v)
