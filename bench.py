@@ -131,6 +131,7 @@ def main() -> None:
     # exact config on this platform* (the reference publishes no numbers,
     # BASELINE.md); the first run of a config writes its own baseline.
     platform = jax.devices()[0].platform
+    shading = cfg.shading  # backward forces 'none'; key must record reality
     cfg_key = (f"{platform}-{grid_n}-{width}x{height}-{rate}-{shading}"
                f"-{method}" + ("-bwd" if backward else ""))
     baseline_path = os.path.join(os.path.dirname(__file__),
@@ -151,7 +152,6 @@ def main() -> None:
     kind = "backward" if backward else "forward"
     if backward:
         desc += ", grid+TF grads via bounded-memory adjoint"
-        shading = cfg.shading
     print(json.dumps({
         "metric": f"{kind} rays/s ({grid_n}^3 grid, {width}x{height}, "
                   f"{shading} shading, {desc})",

@@ -1,13 +1,5 @@
-"""Fused TPU kernels (Pallas) and their jnp oracles."""
+"""Fused TPU kernels (Pallas) and their bounded-memory adjoints."""
 
-from ovr_tpu.ops.composite import (
-    composite_over,
-    tf_composite_pallas,
-    tf_composite_reference,
-)
+from ovr_tpu.ops.adjoint import over_scan
 
-__all__ = [
-    "composite_over",
-    "tf_composite_pallas",
-    "tf_composite_reference",
-]
+__all__ = ["over_scan"]
