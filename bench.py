@@ -66,13 +66,16 @@ def main() -> None:
     if backward:
         # backward rays/s (BASELINE config #4): gradient of a render loss
         # w.r.t. the volume grid + TF opacity through the bounded-memory
-        # over-compositing adjoint (shading forced to 'none')
+        # over-compositing adjoint. BENCH_SHADING selects the mode — the
+        # shaded (diffuse/shadow) backward runs the per-step-recompute
+        # adjoint too (shearwarp._shaded_loop), so it benches at full
+        # resolution without O(n_slices) residuals.
         import dataclasses as _dc
 
         import jax.numpy as jnp
 
-        cfg = _dc.replace(cfg, shading="none", max_steps=None,
-                          shadow_max_steps=None, sw=None).resolved(scene)
+        lgb = (jax.device_put(api.build_light_grid(scene, cfg))
+               if api._wants_light_grid(cfg) else None)
 
         @jax.jit
         def grad_step(grid, alpha):
@@ -80,8 +83,8 @@ def main() -> None:
                 sc = _dc.replace(
                     scene, volume=_dc.replace(scene.volume, grid=g),
                     tfn=_dc.replace(scene.tfn, alpha=a))
-                f = api.render(sc, cfg)
-                return jnp.mean(f.rgba ** 2)
+                f = api.render(sc, cfg, light_grid=lgb)
+                return jnp.mean(f.rgba ** 2) + jnp.mean(f.grad ** 2)
 
             return jax.grad(loss, argnums=(0, 1))(grid, alpha)
 

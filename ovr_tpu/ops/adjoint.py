@@ -75,9 +75,16 @@ def _fwd(f, n_steps, params):
     return out, (params, out[1])
 
 
-def _bwd(f, n_steps, res, cots):
-    params, t_final = res
-    v_bar, t_bar = cots  # cotangents of (V, T)
+def adjoint_sweep(f, n_steps, params, t_final, v_bar, t_bar):
+    """The analytic reverse sweep: given the forward's final transmittance
+    `t_final` and output cotangents (v_bar for V, t_bar for T), recompute
+    each step of `f` in reverse order and return the params cotangent —
+    O(1)-in-steps residual memory.
+
+    Usable standalone as the backward of ANY forward that computes the same
+    over-compositing recurrence (e.g. the fused Pallas slice kernel): only
+    (params, t_final) must be saved.
+    """
 
     def step_val(p, k):
         v, a = f(p, k)
@@ -103,7 +110,13 @@ def _bwd(f, n_steps, res, cots):
     (_, _, p_bar), _ = jax.lax.scan(
         body, (t_final, run0, zero_params),
         jnp.arange(n_steps - 1, -1, -1))
-    return (p_bar,)
+    return p_bar
+
+
+def _bwd(f, n_steps, res, cots):
+    params, t_final = res
+    v_bar, t_bar = cots  # cotangents of (V, T)
+    return (adjoint_sweep(f, n_steps, params, t_final, v_bar, t_bar),)
 
 
 _over_scan.defvjp(_fwd, _bwd)

@@ -5,14 +5,27 @@ The XLA version of the slice loop (render.shearwarp) writes its carry
 every slice and materializes each resampled plane and its classification.
 This kernel fuses the whole loop:
 
-  grid = (column_tiles, n_slices)   # slices minor: executed sequentially
+  grid = (row_tiles, n_slices)      # slices minor: executed sequentially
   per step: the plane's two voxel slabs stream HBM->VMEM (scalar-prefetched
-  z indices drive the BlockSpec index maps), z-lerp, the two interpolation
-  matrices are built in registers, resampling is two MXU matmuls,
-  classification a two-tap 128-lane table gather, opacity correction uses
-  the exact per-pixel plane/ray interval overlap (slab test inline), and
-  the result over-composites into a VMEM carry scratch that never leaves
-  the chip. Outputs are written once, at the last slice of each tile.
+  z indices drive the BlockSpec index maps) and are z-lerped; resampling is
+  two MXU matmuls with a *windowed* K dimension — the interpolation
+  matrices are 2-banded, so a row tile of the ray fan only reads a
+  contiguous window of ~r_tile*Nr/Hi source rows (the window offset per
+  (tile, slice) is scalar-prefetched):
+
+      t1  = wr_loc @ plane[w0:w0+W]    (R,  W ) x (W,  Nc) -> (R, Nc)
+      smp = t1 @ wc.T                  (R,  Nc) x (Nc, Wi) -> (R, Wi)
+
+  vs the naive (Hi, Nr) x (Nr, Nc) chain this cuts the row-resample MAC
+  count by ~Nr/W per slice and never recomputes work across tiles (the
+  round-2 column-tiled kernel re-ran the full row resample once per
+  128-lane tile); the windowed sums match the full ones up to 1-ulp
+  hat-weight rounding (the excluded terms are exact zeros).
+  Classification is a two-tap 128-lane table gather per lane chunk, opacity
+  correction uses the exact per-pixel plane/ray interval overlap (slab test
+  inline), and the result over-composites directly into the output block,
+  which stays resident in VMEM for all slices of a row tile and is flushed
+  to HBM once.
 
 Shading modes (static):
   0 none     — emission-absorption only
@@ -24,9 +37,12 @@ Shading modes (static):
                lattice, resampled with the same machinery (streamed like
                the volume with its own prefetched z indices)
 
-HBM traffic per frame ~= the volume (+ lattice) planes + the final
-(8, Hi, Wi) buffers, vs ~3 GB of scan-carry traffic for the XLA version at
-512^2 x 256 slices.
+`bf16=True` runs every matmul with bfloat16 operands (f32 accumulation via
+preferred_element_type) — ~2x MXU throughput for ~0.4% weight error.
+
+HBM traffic per frame ~= row_tiles x the volume (+ lattice) planes + the
+final (8, Hi, Wi) buffer, vs ~3 GB of scan-carry traffic for the XLA
+version at 512^2 x 256 slices.
 
 Reference semantics fused: trilinear sampling (`shaders_common.h:186-193`,
 factorized per plane), TF classification (`:356-367`), opacity correction
@@ -43,7 +59,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 128  # column-tile width = one vreg of lanes
+LANES = 128  # fan-width padding granularity = one vreg of lanes
 CHUNK = 128  # TF-table lanes per gather chunk
 
 # scalar vector layout (SMEM input, shape (1, N_SCALARS))
@@ -57,7 +73,7 @@ N_SCALARS = 40
 
 def _tf_gather(tab_ref, ch, idx, n_chunks):
     """Two-tap nodal gather: tab_ref (4, n_chunks, 1, CHUNK); idx
-    (R, LANES) int32 node indices (LANES == CHUNK). Returns (R, LANES)."""
+    (R, CHUNK) int32 node indices. Returns (R, CHUNK)."""
     r = idx.shape[0]
     out = jnp.zeros(idx.shape, jnp.float32)
     for k in range(n_chunks):
@@ -85,19 +101,33 @@ def _interp_dw(pos, n):
                      -jnp.sign(d), 0.0)
 
 
-def _kernel(k0_ref, k0l_ref, vol0_ref, vol1_ref, lg0_ref, lg1_ref, pg_ref,
-            qg_ref, tab_ref, sc_ref, out_ref, carry, *, n_r, n_c, n_orig,
-            n_chunks, hi_i, mode, l_r, l_c):
-    """One (column tile, slice) grid step. carry: (9, Hi, LANES) VMEM
-    scratch rows [c_r, c_g, c_b, g_x, g_y, g_z, depth, trans, prev_s]."""
+def _dot(a, b, bf16, trans_b=False):
+    """MXU matmul with optional bfloat16 operands, f32 accumulation.
+    trans_b contracts b's dim 1 (saves materializing b.T)."""
+    if bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    dims = (((1,), (1,)), ((), ())) if trans_b else (((1,), (0,)), ((), ()))
+    return jax.lax.dot_general(a, b, dims,
+                               preferred_element_type=jnp.float32)
+
+
+def _kernel(k0_ref, k0l_ref, w0_ref, vol0_ref, vol1_ref, lg0_ref, lg1_ref,
+            pg_ref, qg_ref, tab_ref, sc_ref, out_ref, prev_s, *, n_r, n_c,
+            n_orig, n_chunks, r_tile, wi_p, win, mode, l_r, l_c, bf16):
+    """One (row tile, slice) grid step. out_ref (8, R, Wi) doubles as the
+    compositing accumulator (VMEM-resident until the tile changes); rows
+    [c_r, c_g, c_b, g_x, g_y, g_z, depth, trans->alpha]."""
+    t = pl.program_id(0)
     j = pl.program_id(1)
     n_slices = pl.num_programs(1)
 
     @pl.when(j == 0)
     def _init():
-        carry[0:7, :, :] = jnp.zeros((7, hi_i, LANES), jnp.float32)
-        carry[7, :, :] = jnp.ones((hi_i, LANES), jnp.float32)
-        carry[8, :, :] = jnp.zeros((hi_i, LANES), jnp.float32)
+        out_ref[0:7, :, :] = jnp.zeros((7, r_tile, wi_p), jnp.float32)
+        out_ref[7, :, :] = jnp.ones((r_tile, wi_p), jnp.float32)
+        if mode >= 1:
+            prev_s[:, :] = jnp.zeros((r_tile, wi_p), jnp.float32)
 
     def sc(i):
         return sc_ref[0, i]
@@ -107,31 +137,40 @@ def _kernel(k0_ref, k0l_ref, vol0_ref, vol1_ref, lg0_ref, lg1_ref, pg_ref,
     lam = z_rel * sc(S_DLAM) + sc(S_LAM0)
     ortho = sc(S_ORTHO) > 0.5
 
-    # z-lerp the two staged voxel slabs (fz recomputed to match the
-    # prefetched k0 = clip(floor(c), 0, n_a - 2))
+    # z-lerp weight (fz recomputed to match the prefetched
+    # k0 = clip(floor(c), 0, n_a - 2))
     c = jnp.clip(z_rel / sc(S_EXA) * sc(S_NA) - 0.5, 0.0, sc(S_NA) - 1.0)
     kf = jnp.clip(jnp.floor(c), 0.0, sc(S_NA) - 2.0)
     fz = c - kf
-    plane = vol0_ref[0] * (1.0 - fz) + vol1_ref[0] * fz  # (Nr, Nc)
+
+    # window of source rows this row tile touches (prefetched in units of
+    # 8 rows so Mosaic can prove sublane alignment of the dynamic slice)
+    w0 = w0_ref[t, j] * 8
+    win0 = vol0_ref[0, pl.dslice(w0, win), :]
+    win1 = vol1_ref[0, pl.dslice(w0, win), :]
+    plane_w = win0 * (1.0 - fz) + win1 * fz  # (W, Nc)
 
     # world coords of this tile's intermediate pixels on the plane
-    pg = pg_ref[0, :]  # (LANES,)
-    qg = qg_ref[:, 0]  # (Hi,)
+    pg = pg_ref[0, :]  # (Wi,)
+    qg = qg_ref[:, 0]  # (R,)
     x1 = jnp.where(ortho, pg + sc(S_DW1) * lam, sc(S_EW1) + pg * lam)
     x2 = jnp.where(ortho, qg + sc(S_DW2) * lam, sc(S_EW2) + qg * lam)
     vc = jnp.clip((x1 - sc(S_LO1)) / sc(S_EX1) * n_c - 0.5, 0.0, n_c - 1.0)
     vr = jnp.clip((x2 - sc(S_LO2)) / sc(S_EX2) * n_r - 0.5, 0.0, n_r - 1.0)
+    vr_loc = jnp.clip(vr - w0.astype(jnp.float32), 0.0, win - 1.0)
 
-    # interpolation matrices in registers; two MXU matmuls resample
-    wc = _interp_w(vc, n_c)  # (LANES, Nc)
-    wr = _interp_w(vr, n_r)  # (Hi, Nr)
-    t1 = jnp.dot(wr, plane, preferred_element_type=jnp.float32)  # (Hi, Nc)
-    smp = jnp.dot(t1, wc.T, preferred_element_type=jnp.float32)  # (Hi, L)
+    # interpolation matrices in registers; two windowed MXU matmuls
+    # (rows-first order matches the XLA reference loop bit-for-bit: the
+    # windowed row matmul sums the same two nonzero hat terms)
+    wc = _interp_w(vc, n_c)  # (Wi, Nc)
+    wr = _interp_w(vr_loc, win)  # (R, W)
+    t1 = _dot(wr, plane_w, bf16)  # (R, Nc)
+    smp = _dot(t1, wc, bf16, trans_b=True)  # (R, Wi)
 
     # exact per-pixel plane/ray interval overlap (inline slab test in
     # ray-parameter units; principal-axis range folded into S_LAM0/S_EXA)
-    pp = jnp.broadcast_to(pg[None, :], (hi_i, LANES))
-    qq = jnp.broadcast_to(qg[:, None], (hi_i, LANES))
+    pp = jnp.broadcast_to(pg[None, :], (r_tile, wi_p))
+    qq = jnp.broadcast_to(qg[:, None], (r_tile, wi_p))
     d1 = jnp.where(ortho, sc(S_DW1), pp)
     d2 = jnp.where(ortho, sc(S_DW2), qq)
     o1 = jnp.where(ortho, pp, sc(S_EW1))
@@ -159,22 +198,26 @@ def _kernel(k0_ref, k0l_ref, vol0_ref, vol1_ref, lg0_ref, lg1_ref, pg_ref,
     seg_hi = jnp.minimum(lam + sc(S_HALF), l_out)
     dt_w = jnp.maximum(seg_hi - seg_lo, 0.0) * speed
 
-    # classify: normalized value -> two-tap nodal lookup
+    # classify per 128-lane chunk: normalized value -> two-tap nodal lookup
     v = jnp.clip((smp - sc(S_VLO)) * sc(S_VSCALE), 0.0, 1.0)
     cc = v * (n_orig - 1)
-    i0 = jnp.clip(jnp.floor(cc), 0.0, n_orig - 1.0).astype(jnp.int32)
-    f = cc - i0.astype(jnp.float32)
-    i1 = jnp.minimum(i0 + 1, n_orig - 1)
+    i0_f = jnp.clip(jnp.floor(cc), 0.0, n_orig - 1.0)
+    f = cc - i0_f
 
-    def lookup(ch):
-        lo_v = _tf_gather(tab_ref, ch, i0, n_chunks)
-        hi_v = _tf_gather(tab_ref, ch, i1, n_chunks)
-        return lo_v * (1.0 - f) + hi_v * f
-
-    r = jnp.clip(lookup(0), 0.0, 1.0)
-    g = jnp.clip(lookup(1), 0.0, 1.0)
-    b = jnp.clip(lookup(2), 0.0, 1.0)
-    a_raw = lookup(3)
+    parts = {0: [], 1: [], 2: [], 3: []}
+    for w in range(wi_p // CHUNK):
+        sl = slice(w * CHUNK, (w + 1) * CHUNK)
+        i0 = i0_f[:, sl].astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, n_orig - 1)
+        fw = f[:, sl]
+        for ch in range(4):
+            lo_v = _tf_gather(tab_ref, ch, i0, n_chunks)
+            hi_v = _tf_gather(tab_ref, ch, i1, n_chunks)
+            parts[ch].append(lo_v * (1.0 - fw) + hi_v * fw)
+    r = jnp.clip(jnp.concatenate(parts[0], axis=1), 0.0, 1.0)
+    g = jnp.clip(jnp.concatenate(parts[1], axis=1), 0.0, 1.0)
+    b = jnp.clip(jnp.concatenate(parts[2], axis=1), 0.0, 1.0)
+    a_raw = jnp.concatenate(parts[3], axis=1)
 
     # opacity correction 1 - (1-a)^(base*dt), nearly_equal skip
     k = sc(S_BASE) * dt_w
@@ -187,14 +230,11 @@ def _kernel(k0_ref, k0l_ref, vol0_ref, vol1_ref, lg0_ref, lg1_ref, pg_ref,
     if mode >= 1:
         # analytic bilinear-derivative gradient (world units)
         dwc = _interp_dw(vc, n_c)
-        dwr = _interp_dw(vr, n_r)
-        g1 = jnp.dot(t1, dwc.T, preferred_element_type=jnp.float32
-                     ) * (n_c / sc(S_EX1))
-        t1r = jnp.dot(dwr, plane, preferred_element_type=jnp.float32)
-        g2 = jnp.dot(t1r, wc.T, preferred_element_type=jnp.float32
-                     ) * (n_r / sc(S_EX2))
-        prev_s = carry[8, :, :]
-        ds = jnp.where(j > 0, (smp - prev_s) / sc(S_DZDLAM), 0.0)
+        dwr = _interp_dw(vr_loc, win)
+        g1 = _dot(t1, dwc, bf16, trans_b=True) * (n_c / sc(S_EX1))
+        g2 = _dot(_dot(dwr, plane_w, bf16), wc, bf16,
+                  trans_b=True) * (n_r / sc(S_EX2))
+        ds = jnp.where(j > 0, (smp - prev_s[:, :]) / sc(S_DZDLAM), 0.0)
         k1 = jnp.where(ortho, sc(S_K1O), pp)
         k2 = jnp.where(ortho, sc(S_K2O), qq)
         ga = (ds - g1 * k1 - g2 * k2) * sc(S_INVDA)
@@ -212,10 +252,8 @@ def _kernel(k0_ref, k0l_ref, vol0_ref, vol1_ref, lg0_ref, lg1_ref, pg_ref,
                            l_c - 1.0)
             lvr = jnp.clip((x2 - sc(S_LO2)) / sc(S_EX2) * l_r - 0.5, 0.0,
                            l_r - 1.0)
-            lt = jnp.dot(_interp_w(lvr, l_r), lplane,
-                         preferred_element_type=jnp.float32)
-            sh = jnp.dot(lt, _interp_w(lvc, l_c).T,
-                         preferred_element_type=jnp.float32)
+            lt = _dot(_interp_w(lvr, l_r), lplane, bf16)  # (R, Lc)
+            sh = _dot(lt, _interp_w(lvc, l_c), bf16, trans_b=True)
             shadow = jnp.clip(sh, 0.0, 1.0)
         else:
             shadow = 0.0
@@ -231,33 +269,61 @@ def _kernel(k0_ref, k0l_ref, vol0_ref, vol1_ref, lg0_ref, lg1_ref, pg_ref,
         ncz = jnp.clip(sc(S_W20) * nu1 + sc(S_W21) * nu2 + sc(S_W22) * nua,
                        0.0, 1.0)
 
-    trans = carry[7, :, :]
+    trans = out_ref[7, :, :]
     aw = trans * a
-    carry[0, :, :] += aw * r
-    carry[1, :, :] += aw * g
-    carry[2, :, :] += aw * b
+    out_ref[0, :, :] += aw * r
+    out_ref[1, :, :] += aw * g
+    out_ref[2, :, :] += aw * b
     if mode >= 1:
-        carry[3, :, :] += aw * ncx
-        carry[4, :, :] += aw * ncy
-        carry[5, :, :] += aw * ncz
-        carry[8, :, :] = smp
-    carry[6, :, :] += aw * (lam * speed)
-    carry[7, :, :] = trans * (1.0 - a)
+        out_ref[3, :, :] += aw * ncx
+        out_ref[4, :, :] += aw * ncy
+        out_ref[5, :, :] += aw * ncz
+        prev_s[:, :] = smp
+    out_ref[6, :, :] += aw * (lam * speed)
+    out_ref[7, :, :] = trans * (1.0 - a)
 
     @pl.when(j == n_slices - 1)
     def _emit():
-        out_ref[0:7, :, :] = carry[0:7, :, :]
-        out_ref[7, :, :] = 1.0 - carry[7, :, :]
+        out_ref[7, :, :] = 1.0 - out_ref[7, :, :]
+
+
+def _window_offsets(scalars, pg, qg_p, k0, n_slices, n_r, r_tile, win):
+    """Per-(row tile, slice) source-row window offsets (T, S) int32 in
+    units of 8 rows: floor(min over the tile's rows of vr) - 1, clamped so
+    the static-width window stays inside [0, n_r)."""
+    del pg, k0
+    t = qg_p.shape[0] // r_tile
+    dt = qg_p.dtype
+    qa = qg_p.reshape(t, r_tile)[:, 0][:, None]  # (T, 1)
+    qb = qg_p.reshape(t, r_tile)[:, -1][:, None]
+    jf = jnp.arange(n_slices, dtype=dt)[None, :]  # (1, S)
+    z_rel = (jf + scalars[S_OFF]) * scalars[S_DZ]
+    lam = z_rel * scalars[S_DLAM] + scalars[S_LAM0]
+    ortho = scalars[S_ORTHO] > 0.5
+
+    def vr_of(q):
+        x2 = jnp.where(ortho, q + scalars[S_DW2] * lam,
+                       scalars[S_EW2] + q * lam)
+        return jnp.clip((x2 - scalars[S_LO2]) / scalars[S_EX2] * n_r - 0.5,
+                        0.0, n_r - 1.0)
+
+    lo = jnp.minimum(vr_of(qa), vr_of(qb))
+    w0 = (jnp.floor(lo).astype(jnp.int32) - 1) // 8
+    return jnp.clip(w0, 0, max(n_r - win, 0) // 8)
 
 
 def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
                            n_slices: int, mode: int = 0, lgrid=None,
-                           k0l=None, interpret=None):
+                           k0l=None, interpret=None, r_tile: int = 256,
+                           win_r: int = 0, bf16: bool = False):
     """Run the fused slice loop. grid_v (A, Nr, Nc) traversal-ordered
     volume; rgba_tab (K, 4) merged nodal table; scalars (N_SCALARS,) f32
     (S_* layout); pg (Wi,), qg (Hi,); k0 (n_slices,) int32 slab indices
     (clip(floor(c), 0, A-2)); mode 0/1/2 = none/diffuse/shadow; lgrid
     (La, Lr, Lc) traversal-ordered shadow lattice + its k0l for mode 2.
+    `r_tile` rows of the ray fan per grid tile; `win_r` (0 = all Nr) is the
+    static source-row window each tile reads per slice — must cover the
+    worst-case row span of r_tile fan rows (resolve_static sizes it).
     Returns (8, Hi, Wi): premultiplied r, g, b, grad_cam xyz, depth, alpha.
     """
     if interpret is None:
@@ -278,53 +344,72 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
         k0l = jnp.zeros((n_slices,), jnp.int32)
     l_a, l_r, l_c = lgrid.shape
 
-    assert wi_i % LANES == 0, wi_i
-    n_tiles = wi_i // LANES
+    # pad the fan: columns to LANES, rows to r_tile (padded rows/cols
+    # recompute the edge ray; outputs are sliced off)
+    pad_w = (-wi_i) % LANES
+    pg_p = (jnp.concatenate([pg, jnp.broadcast_to(pg[-1:], (pad_w,))])
+            if pad_w else pg)
+    r_tile = min(r_tile, -(-hi_i // 8) * 8)
+    pad_h = (-hi_i) % r_tile
+    qg_p = (jnp.concatenate([qg, jnp.broadcast_to(qg[-1:], (pad_h,))])
+            if pad_h else qg)
+    wi_p = wi_i + pad_w
+    hi_p = hi_i + pad_h
+    n_tiles = hi_p // r_tile
+
+    win = min(win_r, n_r) if win_r else n_r
+    sc_f = scalars.astype(jnp.float32)
+    w0s = _window_offsets(sc_f, pg_p, qg_p.astype(jnp.float32),
+                          k0, n_slices, n_r, r_tile, win)
+
+    vdt = jnp.bfloat16 if bf16 else jnp.float32
 
     kernel = functools.partial(
         _kernel, n_r=n_r, n_c=n_c, n_orig=n_orig, n_chunks=n_chunks,
-        hi_i=hi_i, mode=mode, l_r=l_r, l_c=l_c)
+        r_tile=r_tile, wi_p=wi_p, win=win, mode=mode, l_r=l_r, l_c=l_c,
+        bf16=bf16)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles, n_slices),
         in_specs=[
             pl.BlockSpec((1, n_r, n_c),
-                         lambda t, j, k0_, kl_: (k0_[j], 0, 0),
+                         lambda t, j, k0_, kl_, w0_: (k0_[j], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_r, n_c),
-                         lambda t, j, k0_, kl_: (k0_[j] + 1, 0, 0),
+                         lambda t, j, k0_, kl_, w0_: (k0_[j] + 1, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, l_r, l_c),
-                         lambda t, j, k0_, kl_: (kl_[j], 0, 0),
+                         lambda t, j, k0_, kl_, w0_: (kl_[j], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, l_r, l_c),
-                         lambda t, j, k0_, kl_: (
+                         lambda t, j, k0_, kl_, w0_: (
                              jnp.minimum(kl_[j] + 1, l_a - 1), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda t, j, k0_, kl_: (0, t),
+            pl.BlockSpec((1, wi_p), lambda t, j, k0_, kl_, w0_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hi_i, 1), lambda t, j, k0_, kl_: (0, 0),
+            pl.BlockSpec((r_tile, 1), lambda t, j, k0_, kl_, w0_: (t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, n_chunks, 1, CHUNK),
-                         lambda t, j, k0_, kl_: (0, 0, 0, 0),
+                         lambda t, j, k0_, kl_, w0_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N_SCALARS), lambda t, j, k0_, kl_: (0, 0),
+            pl.BlockSpec((1, N_SCALARS), lambda t, j, k0_, kl_, w0_: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((8, hi_i, LANES),
-                               lambda t, j, k0_, kl_: (0, 0, t),
+        out_specs=pl.BlockSpec((8, r_tile, wi_p),
+                               lambda t, j, k0_, kl_, w0_: (0, t, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((9, hi_i, LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(
+            (r_tile, wi_p) if mode >= 1 else (8, 8), jnp.float32)],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((8, hi_i, wi_i), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, hi_p, wi_p), jnp.float32),
         interpret=interpret,
-    )(k0.astype(jnp.int32), k0l.astype(jnp.int32),
-      grid_v.astype(jnp.float32), grid_v.astype(jnp.float32),
+    )(k0.astype(jnp.int32), k0l.astype(jnp.int32), w0s,
+      grid_v.astype(vdt), grid_v.astype(vdt),
       lgrid.astype(jnp.float32), lgrid.astype(jnp.float32),
-      pg.astype(jnp.float32).reshape(1, wi_i),
-      qg.astype(jnp.float32).reshape(hi_i, 1), tab,
-      scalars.astype(jnp.float32).reshape(1, N_SCALARS))
-    return out
+      pg_p.astype(jnp.float32).reshape(1, wi_p),
+      qg_p.astype(jnp.float32).reshape(r_tile * n_tiles, 1), tab,
+      sc_f.reshape(1, N_SCALARS))
+    return out[:, :hi_i, :wi_i]

@@ -81,6 +81,10 @@ class SwStatic:
     # fuse the unshaded slice loop into the Pallas kernel (ops.swslice);
     # backward still runs the over_scan adjoint
     pallas: bool = False
+    r_tile: int = 256  # fan rows per kernel grid tile
+    # static source-row window per (tile, slice) the kernel reads; 0 = all
+    # rows. Sized host-side from the worst-case fan-row -> voxel-row slope.
+    win_r: int = 0
 
 
 def _np_basis(camera, width, height):
@@ -161,13 +165,39 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
     rnd = lambda x: int(-(-x // 8) * 8)
     wi = rnd(min(cap, max(64, 2 * dims_xyz[perp[0]])))
     hi_i = rnd(min(cap, max(64, 2 * dims_xyz[perp[1]])))
+
+    # source-row window for the fused kernel: bound the fan-row -> voxel-row
+    # slope |dvr/drow| = (Nr/ex2) * dq * (1 | max|lam|) over the screen
+    # border (q is monotone in each screen axis between poles), with 25%
+    # headroom for band-sharded fans plus the 8-alignment margin.
+    r_tile = min(256, rnd(hi_i))
+    n_r = dims_xyz[w2]
+    ex2 = float(ext[w2])
+    eye = np.asarray(camera.from_, np.float64)
+    us = np.linspace(-0.5, 0.5, 65)
+    uu = np.concatenate([us, us, np.full(65, -0.5), np.full(65, 0.5)])
+    vv = np.concatenate([np.full(65, -0.5), np.full(65, 0.5), us, us])
+    if camera.kind == ORTHOGRAPHIC:
+        q = eye[w2] + uu * h[w2] + vv * v[w2]
+        lam_f = 1.0
+    else:
+        num = d[w2] + uu * h[w2] + vv * v[w2]
+        den = (d[axis] + uu * h[axis] + vv * v[axis]) * sign
+        den = np.where(np.abs(den) < 1e-9, 1e-9, den)
+        q = num / den
+        lam_f = max(abs(lo - eye[axis]), abs(hi - eye[axis]))
+    q_span = (q.max() - q.min()) * 1.02 + 2e-6
+    b_max = n_r / ex2 * (q_span / hi_i) * lam_f
+    win_r = rnd(int(np.ceil(1.25 * b_max * r_tile)) + 24)
+    if win_r >= n_r:
+        win_r = 0
     import jax
 
     pallas = bool(cfg.sw_pallas) and jax.default_backend() == "tpu"
     return SwStatic(axis=axis, sign=sign, n_slices=n_slices,
                     inter_h=hi_i, inter_w=wi, swap=swap,
                     separable=separable, bf16=bool(cfg.sw_bf16),
-                    pallas=pallas)
+                    pallas=pallas, r_tile=r_tile, win_r=win_r)
 
 
 # ---------------------------------------------------------------------------
@@ -324,33 +354,24 @@ def _kernel_scalars(dt, *, lo1, ex1, lo2, ex2, e1, e2, dw1, dw2, half, dz,
     return jnp.stack([jnp.asarray(x, dt) for x in vals])
 
 
-def _pad_lanes(pg, wi_i):
-    from ovr_tpu.ops import swslice
-    pad = (-wi_i) % swslice.LANES
-    if pad:
-        pg = jnp.concatenate([pg, jnp.broadcast_to(pg[-1:], (pad,))])
-    return pg
-
-
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _fused_none(f, n_s, shape_hw, params):
+def _fused_none(f, n_s, st, params):
     """Unshaded slice loop: forward = the fused Pallas kernel
     (ops.swslice, mode 0), backward = recompute through the bounded-memory
     over_scan adjoint on the same step function. Returns (8, Hi, Wi)."""
     from ovr_tpu.ops import swslice
-    hi_i, wi_i = shape_hw
-    out = swslice.slice_composite_pallas(
-        params["grid"], params["tab"], params["sc"],
-        _pad_lanes(params["pg"], wi_i), params["qg"],
-        params["k0f"].astype(jnp.int32), n_s, mode=0)
-    return out[:, :, :wi_i]
+    sw = st
+    return swslice.slice_composite_pallas(
+        params["grid"], params["tab"], params["sc"], params["pg"],
+        params["qg"], params["k0f"].astype(jnp.int32), n_s, mode=0,
+        r_tile=sw.r_tile, win_r=sw.win_r, bf16=sw.bf16)
 
 
-def _fused_none_fwd(f, n_s, shape_hw, params):
-    return _fused_none(f, n_s, shape_hw, params), params
+def _fused_none_fwd(f, n_s, st, params):
+    return _fused_none(f, n_s, st, params), params
 
 
-def _fused_none_bwd(f, n_s, shape_hw, params, cot):
+def _fused_none_bwd(f, n_s, st, params, cot):
     from ovr_tpu.ops.adjoint import over_scan
     v_bar = jnp.concatenate(
         [jnp.moveaxis(cot[0:3], 0, -1), cot[6][..., None]], axis=-1)
@@ -363,75 +384,95 @@ def _fused_none_bwd(f, n_s, shape_hw, params, cot):
 _fused_none.defvjp(_fused_none_fwd, _fused_none_bwd)
 
 
-def _slices_xla_shaded(st, P):
-    """Shaded (diffuse/shadow) slice loop in XLA — the semantic reference
-    for the fused kernel's shaded modes and its gradient path. Returns
-    premultiplied (color (Hi,Wi,3), grad_cam (Hi,Wi,3), depth, alpha)."""
+def _plane_fields(st, P, lam_j, k0_j, fz_j, want_grad=True):
+    """Resample one slice plane of the shaded loop: returns
+    (smp (Hi,Wi), g1, g2, x1 (Wi,), x2 (Hi,)); g1/g2 are the analytic
+    bilinear-derivative world gradients (None when want_grad=False)."""
     from ovr_tpu.ops.swslice import _interp_dw
     sw, ortho, mode = st
     grid = P["grid"]
     n_a, n_r, n_c = grid.shape
     dt = P["pg"].dtype
+    sl = jax.lax.dynamic_slice(grid, (k0_j, 0, 0), (2, n_r, n_c))
+    plane = sl[0] * (1.0 - fz_j) + sl[1] * fz_j
+    if ortho:
+        x1 = P["pg"] + P["dw1"] * lam_j
+        x2 = P["qg"] + P["dw2"] * lam_j
+    else:
+        x1 = P["ew1"] + P["pg"] * lam_j
+        x2 = P["ew2"] + P["qg"] * lam_j
+    vc = jnp.clip((x1 - P["lo1"]) / P["ex1"] * n_c - 0.5, 0.0, n_c - 1.0)
+    vr = jnp.clip((x2 - P["lo2"]) / P["ex2"] * n_r - 0.5, 0.0, n_r - 1.0)
+    wc = _interp_matrix(vc, n_c)
+    wr = _interp_matrix(vr, n_r)
+    t1 = _mm(wr, plane, sw.bf16)
+    smp = _mm(t1, wc.T, sw.bf16).astype(dt)
+    if not want_grad:
+        return smp, None, None, x1, x2
+    dwc = _interp_dw(vc, n_c).astype(dt)
+    dwr = _interp_dw(vr, n_r).astype(dt)
+    g1 = _mm(t1, dwc.T, sw.bf16) * (n_c / P["ex1"])
+    g2 = _mm(_mm(dwr, plane, sw.bf16), wc.T, sw.bf16) * (n_r / P["ex2"])
+    return smp, g1, g2, x1, x2
+
+
+def _shade_fields(st, P, lam_j, j_pos, smp, g1, g2, prev_s, k0l_j, fzl_j,
+                  x1, x2):
+    """Classification, opacity correction and diffuse/shadow shading for
+    one resampled plane: returns (rgb, ncam, a). `prev_s` is the previous
+    plane's sample field (the axial FD term); ignored when j_pos == 0."""
+    sw, ortho, mode = st
+    dt = P["pg"].dtype
+    seg_lo = jnp.maximum(lam_j - P["half"], P["lin"])
+    seg_hi = jnp.minimum(lam_j + P["half"], P["lout"])
+    dt_w = jnp.maximum(seg_hi - seg_lo, 0.0) * P["speed"]
+    rgb, a = _classify_dense(smp, P["tab"], P["vr"], sw.bf16)
+    a = jnp.where(dt_w > 0, opacity_correction(a, P["base"], dt_w), 0.0)
+    a = jnp.minimum(a, 1.0 - 1e-6)
+
+    ds = jnp.where(j_pos > 0, (smp - prev_s) / P["dzdlam"], 0.0)
+    ga = (ds - g1 * P["k1"] - g2 * P["k2"]) * P["inv_da"]
+    n1, n2, na = -g1, -g2, -ga
+    inv = jax.lax.rsqrt(n1 * n1 + n2 * n2 + na * na + 1e-12)
+    cos_nl = jnp.abs(P["ld1"] * n1 + P["ld2"] * n2 + P["lda"] * na) * inv
+    if mode == 2:
+        lgrid = P["lgrid"]
+        l_a, l_r, l_c = lgrid.shape
+        sll = jax.lax.dynamic_slice(lgrid, (k0l_j, 0, 0), (2, l_r, l_c))
+        lplane = sll[0] * (1.0 - fzl_j) + sll[1] * fzl_j
+        lvc = jnp.clip((x1 - P["lo1"]) / P["ex1"] * l_c - 0.5, 0.0,
+                       l_c - 1.0)
+        lvr = jnp.clip((x2 - P["lo2"]) / P["ex2"] * l_r - 0.5, 0.0,
+                       l_r - 1.0)
+        sh = _mm(_mm(_interp_matrix(lvr, l_r), lplane, sw.bf16),
+                 _interp_matrix(lvc, l_c).T, sw.bf16)
+        shadow = jnp.clip(sh, 0.0, 1.0).astype(dt)
+    else:
+        shadow = 0.0
+    shade = 0.5 + cos_nl * (1.0 - shadow)  # 0.5 * cos * intensity(=2)
+    rgb = jnp.clip(rgb * shade[..., None], 0.0, 1.0)
+    nu = jnp.stack([n1 * inv, n2 * inv, na * inv], -1)  # (Hi, Wi, 3)
+    ncam = jnp.clip(jnp.einsum("ij,hwj->hwi", P["wtcp"], nu), 0.0, 1.0)
+    return rgb, ncam, a
+
+
+def _slices_xla_shaded(st, P):
+    """Shaded (diffuse/shadow) slice loop in XLA — the semantic reference
+    for the fused kernel's shaded modes. Returns premultiplied
+    (color (Hi,Wi,3), grad_cam (Hi,Wi,3), depth, alpha). The previous
+    plane's sample rides the scan carry (cheap forward); the adjoint
+    recomputes it per step instead (`_shaded_step`)."""
+    sw, ortho, mode = st
+    dt = P["pg"].dtype
     hi_i = P["qg"].shape[0]
     wi_i = P["pg"].shape[0]
-    lgrid = P.get("lgrid")
 
     def body(carry, xs):
         color, gradc, depth, trans, prev_s = carry
-        j, lam_j, k0_j, fz_j, zrel_j, k0l_j, fzl_j = xs
-        sl = jax.lax.dynamic_slice(grid, (k0_j, 0, 0), (2, n_r, n_c))
-        plane = sl[0] * (1.0 - fz_j) + sl[1] * fz_j
-        if ortho:
-            x1 = P["pg"] + P["dw1"] * lam_j
-            x2 = P["qg"] + P["dw2"] * lam_j
-        else:
-            x1 = P["ew1"] + P["pg"] * lam_j
-            x2 = P["ew2"] + P["qg"] * lam_j
-        vc = jnp.clip((x1 - P["lo1"]) / P["ex1"] * n_c - 0.5, 0.0,
-                      n_c - 1.0)
-        vr = jnp.clip((x2 - P["lo2"]) / P["ex2"] * n_r - 0.5, 0.0,
-                      n_r - 1.0)
-        wc = _interp_matrix(vc, n_c)
-        wr = _interp_matrix(vr, n_r)
-        t1 = _mm(wr, plane, sw.bf16)
-        smp = _mm(t1, wc.T, sw.bf16).astype(dt)
-        seg_lo = jnp.maximum(lam_j - P["half"], P["lin"])
-        seg_hi = jnp.minimum(lam_j + P["half"], P["lout"])
-        dt_w = jnp.maximum(seg_hi - seg_lo, 0.0) * P["speed"]
-        rgb, a = _classify_dense(smp, P["tab"], P["vr"], sw.bf16)
-        a = jnp.where(dt_w > 0, opacity_correction(a, P["base"], dt_w), 0.0)
-        a = jnp.minimum(a, 1.0 - 1e-6)
-
-        # analytic bilinear-derivative world gradient
-        dwc = _interp_dw(vc, n_c).astype(dt)
-        dwr = _interp_dw(vr, n_r).astype(dt)
-        g1 = _mm(t1, dwc.T, sw.bf16) * (n_c / P["ex1"])
-        g2 = _mm(_mm(dwr, plane, sw.bf16), wc.T, sw.bf16) * (n_r / P["ex2"])
-        ds = jnp.where(j > 0, (smp - prev_s) / P["dzdlam"], 0.0)
-        ga = (ds - g1 * P["k1"] - g2 * P["k2"]) * P["inv_da"]
-        n1, n2, na = -g1, -g2, -ga
-        inv = jax.lax.rsqrt(n1 * n1 + n2 * n2 + na * na + 1e-12)
-        cos_nl = jnp.abs(P["ld1"] * n1 + P["ld2"] * n2
-                         + P["lda"] * na) * inv
-        if mode == 2:
-            l_a, l_r, l_c = lgrid.shape
-            sll = jax.lax.dynamic_slice(lgrid, (k0l_j, 0, 0),
-                                        (2, l_r, l_c))
-            lplane = sll[0] * (1.0 - fzl_j) + sll[1] * fzl_j
-            lvc = jnp.clip((x1 - P["lo1"]) / P["ex1"] * l_c - 0.5, 0.0,
-                           l_c - 1.0)
-            lvr = jnp.clip((x2 - P["lo2"]) / P["ex2"] * l_r - 0.5, 0.0,
-                           l_r - 1.0)
-            sh = _mm(_mm(_interp_matrix(lvr, l_r), lplane, sw.bf16),
-                     _interp_matrix(lvc, l_c).T, sw.bf16)
-            shadow = jnp.clip(sh, 0.0, 1.0).astype(dt)
-        else:
-            shadow = 0.0
-        shade = 0.5 + cos_nl * (1.0 - shadow)  # 0.5 * cos * intensity(=2)
-        rgb = jnp.clip(rgb * shade[..., None], 0.0, 1.0)
-        nu = jnp.stack([n1 * inv, n2 * inv, na * inv], -1)  # (Hi, Wi, 3)
-        ncam = jnp.clip(jnp.einsum("ij,hwj->hwi", P["wtcp"], nu), 0.0, 1.0)
-
+        j, lam_j, k0_j, fz_j, k0l_j, fzl_j = xs
+        smp, g1, g2, x1, x2 = _plane_fields(st, P, lam_j, k0_j, fz_j)
+        rgb, ncam, a = _shade_fields(st, P, lam_j, j, smp, g1, g2, prev_s,
+                                     k0l_j, fzl_j, x1, x2)
         aw = (trans * a)[..., None]
         color = color + aw * rgb
         gradc = gradc + aw * ncam
@@ -442,41 +483,73 @@ def _slices_xla_shaded(st, P):
     z3 = jnp.zeros((hi_i, wi_i, 3), dt)
     z1 = jnp.zeros((hi_i, wi_i), dt)
     xs = (jnp.arange(P["lam"].shape[0], dtype=jnp.int32), P["lam"],
-          P["k0f"].astype(jnp.int32), P["fz"], P["zrel"],
+          P["k0f"].astype(jnp.int32), P["fz"],
           P["k0lf"].astype(jnp.int32), P["fzl"])
     (color, gradc, depth, trans, _), _ = jax.lax.scan(
         body, (z3, z3, z1, jnp.ones((hi_i, wi_i), dt), z1), xs)
     return color, gradc, depth, 1.0 - trans
 
 
+def _shaded_step(st, P, k):
+    """Slice k of the shaded loop as a pure per-step (v, a) — the form
+    `adjoint_sweep` needs. The previous plane's sample (the axial FD term)
+    is recomputed from params instead of carried, keeping the backward's
+    residual memory O(1) in the slice count. v = (rgb*3, ncam*3, depth)."""
+    lam_j = P["lam"][k]
+    k0_j = P["k0f"][k].astype(jnp.int32)
+    fz_j = P["fz"][k]
+    k0l_j = P["k0lf"][k].astype(jnp.int32)
+    fzl_j = P["fzl"][k]
+    smp, g1, g2, x1, x2 = _plane_fields(st, P, lam_j, k0_j, fz_j)
+    km = jnp.maximum(k - 1, 0)
+    prev_s, _, _, _, _ = _plane_fields(
+        st, P, P["lam"][km], P["k0f"][km].astype(jnp.int32), P["fz"][km],
+        want_grad=False)
+    rgb, ncam, a = _shade_fields(st, P, lam_j, k, smp, g1, g2, prev_s,
+                                 k0l_j, fzl_j, x1, x2)
+    v = jnp.concatenate([rgb, ncam, (lam_j * P["speed"])[..., None]], -1)
+    return v, a
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_shaded(st, P):
-    """Shaded slice loop: forward = the fused Pallas kernel (modes 1/2),
-    backward = autodiff of the XLA reference (recompute)."""
-    from ovr_tpu.ops import swslice
+def _shaded_loop(st, P):
+    """Shaded slice loop with a bounded-memory backward. Forward = the
+    fused Pallas kernel (modes 1/2) when sw.pallas, else the XLA scan;
+    backward = the analytic over-compositing adjoint with per-step
+    recomputation (ops.adjoint.adjoint_sweep) — O(1)-in-slices residuals,
+    making the reference's shaded render + "grad" channel differentiable
+    at full resolution (`shaders_raymarching.cu:125-166`)."""
     sw, ortho, mode, n_s, hi_i, wi_i = st
-    out = swslice.slice_composite_pallas(
-        P["grid"], P["tab"], P["sc"], _pad_lanes(P["pg"], wi_i), P["qg"],
-        P["k0f"].astype(jnp.int32), n_s, mode=mode,
-        lgrid=P.get("lgrid"),
-        k0l=P["k0lf"].astype(jnp.int32) if "lgrid" in P else None)
-    out = out[:, :, :wi_i]
-    return (jnp.moveaxis(out[0:3], 0, -1), jnp.moveaxis(out[3:6], 0, -1),
-            out[6], out[7])
+    if sw.pallas:
+        from ovr_tpu.ops import swslice
+        out = swslice.slice_composite_pallas(
+            P["grid"], P["tab"], P["sc"], P["pg"], P["qg"],
+            P["k0f"].astype(jnp.int32), n_s, mode=mode,
+            lgrid=P.get("lgrid"),
+            k0l=P["k0lf"].astype(jnp.int32) if "lgrid" in P else None,
+            r_tile=sw.r_tile, win_r=sw.win_r, bf16=sw.bf16)
+        return (jnp.moveaxis(out[0:3], 0, -1),
+                jnp.moveaxis(out[3:6], 0, -1), out[6], out[7])
+    return _slices_xla_shaded((sw, ortho, mode), P)
 
 
-def _fused_shaded_fwd(st, P):
-    return _fused_shaded(st, P), P
+def _shaded_loop_fwd(st, P):
+    out = _shaded_loop(st, P)
+    return out, (P, 1.0 - out[3])  # params + final transmittance
 
 
-def _fused_shaded_bwd(st, P, cot):
+def _shaded_loop_bwd(st, res, cot):
+    from ovr_tpu.ops.adjoint import adjoint_sweep
     sw, ortho, mode, n_s, hi_i, wi_i = st
-    _, vjp = jax.vjp(lambda p: _slices_xla_shaded((sw, ortho, mode), p), P)
-    (p_bar,) = vjp(cot)
+    P, t_final = res
+    c_bar, g_bar, d_bar, a_bar = cot
+    v_bar = jnp.concatenate([c_bar, g_bar, d_bar[..., None]], -1)
+    p_bar = adjoint_sweep(partial(_shaded_step, (sw, ortho, mode)), n_s,
+                          P, t_final, v_bar, -a_bar)
     return (p_bar,)
 
 
-_fused_shaded.defvjp(_fused_shaded_fwd, _fused_shaded_bwd)
+_shaded_loop.defvjp(_shaded_loop_fwd, _shaded_loop_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -656,7 +729,7 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
                 half=half, dz=dz, off=off, vr=value_range, base=base,
                 lam0=lam[0] - off * dz * dlam, n_a=n_a, dlam=dlam,
                 exa=ext[axis], ortho=ortho)
-            out8 = _fused_none(f, n_s, (hi_i, wi_i), params)
+            out8 = _fused_none(f, n_s, sw, params)
             color = jnp.moveaxis(out8[0:3], 0, -1)
             depth = out8[6]
             alpha = out8[7]
@@ -680,7 +753,7 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
     P = dict(
         grid=grid, tab=rgba_tab, vr=value_range, base=base,
         pg=pg, qg=qg, lin=l_in, lout=l_out, speed=speed,
-        lam=lam, fz=fz, k0f=k0.astype(dt), zrel=z_rel, half=half,
+        lam=lam, fz=fz, k0f=k0.astype(dt), half=half,
         ew1=e[w1], ew2=e[w2], dw1=direction[w1], dw2=direction[w2],
         lo1=lo1, lo2=lo2, ex1=ex1, ex2=ex2,
         k1=k1_map, k2=k2_map, inv_da=jnp.asarray(inv_da, dt),
@@ -715,10 +788,8 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
             inv_da=jnp.asarray(inv_da, dt),
             dzdlam=jnp.asarray(dz * dlam, dt), n_la=n_la,
             wtcp=wtc[:, (w1, w2, axis)])
-        color, grad, depth, alpha = _fused_shaded(
-            (sw, ortho, mode, n_s, hi_i, wi_i), P)
-    else:
-        color, grad, depth, alpha = _slices_xla_shaded((sw, ortho, mode), P)
+    color, grad, depth, alpha = _shaded_loop(
+        (sw, ortho, mode, n_s, hi_i, wi_i), P)
     return _sw_warp_out(color, grad, depth, alpha, cfg, camera, sw,
                         p_scr, q_scr, p_lo, q_lo, dp, dq, pg, u, v,
                         e, direction, horizontal, vertical, axis,

@@ -192,6 +192,97 @@ class TestParity:
         scale = np.abs(g_ref).max() + 1e-9
         np.testing.assert_allclose(g_pal / scale, g_ref / scale, atol=1e-3)
 
+    def test_pallas_windowed_rows_match_full(self, small_grid):
+        """A forced small source-row window (the 1024^3-scale fast path)
+        reproduces the full-row kernel: the window covers every nonzero hat
+        term, so sums differ only by 1-ulp weight rounding from the shifted
+        local coordinates."""
+        cam = Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5),
+                            fovy=45.0)
+        scene = _scene(small_grid, cam)
+        for shading in ("none", "diffuse", "shadow"):
+            cfg = api.RenderConfig(width=32, height=24, sampling_rate=16.0,
+                                   shading=shading,
+                                   method="shearwarp").resolved(scene)
+            full = api.render(scene, dataclasses.replace(
+                cfg, sw=dataclasses.replace(cfg.sw, pallas=True)))
+            win = api.render(scene, dataclasses.replace(
+                cfg, sw=dataclasses.replace(cfg.sw, pallas=True,
+                                            r_tile=16, win_r=16)))
+            np.testing.assert_allclose(np.asarray(win.rgba),
+                                       np.asarray(full.rgba), atol=1e-5,
+                                       err_msg=shading)
+            np.testing.assert_allclose(np.asarray(win.grad),
+                                       np.asarray(full.grad), atol=1e-5,
+                                       err_msg=shading)
+
+    def test_shaded_backward_matches_scan_autodiff(self, small_grid,
+                                                   monkeypatch):
+        """The bounded-memory shaded adjoint (_shaded_loop's custom VJP via
+        adjoint_sweep) matches plain scan autodiff of the XLA shaded loop
+        for grid + TF-alpha gradients, diffuse and shadow."""
+        cam = Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5),
+                            fovy=45.0)
+        scene = _scene(small_grid, cam)
+        raw_render = api.render.__wrapped__  # unjitted: retrace per call
+
+        for shading in ("diffuse", "shadow"):
+            cfg = api.RenderConfig(width=24, height=16, sampling_rate=12.0,
+                                   shading=shading,
+                                   method="shearwarp").resolved(scene)
+
+            def loss(grid, alpha):
+                sc = dataclasses.replace(
+                    scene,
+                    volume=dataclasses.replace(scene.volume, grid=grid),
+                    tfn=dataclasses.replace(scene.tfn, alpha=alpha))
+                f = raw_render(sc, cfg)
+                return jnp.sum(f.rgba ** 2) + jnp.sum(f.grad ** 2)
+
+            args = (scene.volume.grid, scene.tfn.alpha)
+            g_adj = jax.grad(loss, argnums=(0, 1))(*args)
+            monkeypatch.setattr(
+                shearwarp, "_shaded_loop",
+                lambda st, P: shearwarp._slices_xla_shaded(st[:3], P))
+            g_ref = jax.grad(loss, argnums=(0, 1))(*args)
+            monkeypatch.undo()
+            for a, b in zip(g_adj, g_ref):
+                aa, bb = np.asarray(a), np.asarray(b)
+                scale = np.abs(bb).max() + 1e-8
+                np.testing.assert_allclose(aa / scale, bb / scale,
+                                           atol=2e-3, err_msg=shading)
+
+    def test_shaded_backward_bounded_memory(self, small_grid):
+        """Shaded backward residual memory must not scale with the slice
+        count (the adjoint recomputes planes instead of storing them)."""
+        import pytest as _pytest
+
+        cam = Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5),
+                            fovy=45.0)
+        scene = _scene(small_grid, cam)
+
+        def temp_bytes(rate):
+            cfg = api.RenderConfig(width=24, height=16, sampling_rate=rate,
+                                   shading="diffuse",
+                                   method="shearwarp").resolved(scene)
+
+            def loss(grid):
+                sc = dataclasses.replace(
+                    scene,
+                    volume=dataclasses.replace(scene.volume, grid=grid))
+                return jnp.sum(api.render(sc, cfg).rgba ** 2)
+
+            compiled = (jax.jit(jax.grad(loss))
+                        .lower(scene.volume.grid).compile())
+            ma = compiled.memory_analysis()
+            if ma is None:
+                _pytest.skip("backend lacks memory_analysis")
+            return ma.temp_size_in_bytes
+
+        small, large = temp_bytes(16.0), temp_bytes(256.0)
+        # 16x more slices must not grow residents more than ~2x
+        assert large <= 2 * small + (1 << 20), (small, large)
+
     def test_swept_light_grid_matches_fine_march(self, small_grid):
         """The dense light-axis sweep reproduces a finely-sampled shadow
         march (it replaces the gather-heavy per-lattice-point march)."""
