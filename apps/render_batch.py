@@ -45,6 +45,16 @@ def parse_args(argv=None):
     p.add_argument("--use-macrocells", action="store_true")
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--timed", type=int, default=25)
+    p.add_argument("--sequence", default=None,
+                   help="time-varying volume sequence: %%-pattern "
+                        "(vol_%%04d.raw) or glob; dims/shape from the "
+                        "scene's volume")
+    p.add_argument("--sequence-type", default="FLOAT")
+    p.add_argument("--sequence-endian", default="LITTLE",
+                   choices=["LITTLE", "BIG"])
+    p.add_argument("--sequence-offset", type=int, default=0)
+    p.add_argument("--no-save", action="store_true",
+                   help="skip PNG writes (pure fps measurement)")
     p.add_argument("--resume", action="store_true",
                    help="skip frames whose output PNG already exists")
     p.add_argument("--method", default="auto",
@@ -108,6 +118,48 @@ def main(argv=None) -> None:
     renderer.set_frame_accumulation(True)
     renderer.set_camera(camera=camera)
     renderer.commit()
+
+    if args.sequence:
+        # Time-varying streaming (BASELINE config #3): disk IO of timestep
+        # t+1 overlaps the render of t (prefetch thread), and its
+        # device_put is issued before t's render dispatch so the HBM
+        # upload rides DMA under the compute (double-buffered upload).
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ovr_tpu.io.raw import load_raw_volume, sequence_paths
+
+        paths = sequence_paths(args.sequence)
+        z, y, x = scene.volume.grid.shape
+
+        def load(p):
+            g, _ = load_raw_volume(p, (x, y, z), args.sequence_type,
+                                   args.sequence_offset,
+                                   args.sequence_endian == "BIG")
+            return g
+
+        ex = ThreadPoolExecutor(1)
+        dev = jax.device_put(load(paths[0]))
+        fut = ex.submit(load, paths[1]) if len(paths) > 1 else None
+        t_first = None
+        n_done = 0
+        for idx in range(len(paths)):
+            renderer.set_volume_data(dev)
+            if fut is not None:
+                dev = jax.device_put(fut.result())
+                fut = (ex.submit(load, paths[idx + 2])
+                       if idx + 2 < len(paths) else None)
+            renderer.render()
+            if not args.no_save:
+                save_image(f"{args.expname}t{idx:05d}.png",
+                           renderer.mapframe()["rgba"])
+            if idx == 0:
+                t_first = time.perf_counter()  # exclude the jit frame
+            else:
+                n_done += 1
+        if n_done:
+            fps = n_done / (time.perf_counter() - t_first)
+            print(f"streaming fps = {fps:f}  ({n_done} timesteps)")
+        return
 
     if args.num_frames == 1:
         for _ in range(args.warmup):

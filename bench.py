@@ -21,11 +21,24 @@ def build_scene(n: int = 256):
     from ovr_tpu.core.scene import Camera, simple_scene
 
     # Synthetic multi-frequency volume (no data files ship with the repo).
-    z, y, x = np.meshgrid(*([np.linspace(0, 1, n, dtype=np.float32)] * 3),
-                          indexing="ij")
-    g = 0.5 + 0.35 * np.sin(12 * x) * np.cos(10 * y) * np.sin(8 * z)
-    g += 0.15 * np.exp(-((x - 0.5) ** 2 + (y - 0.5) ** 2 + (z - 0.5) ** 2) * 40)
-    scene = simple_scene(g.astype(np.float32))
+    if n >= 512:
+        # build on device: a host meshgrid at 1024^3 is 3 x 4 GB of RAM
+        # plus a 4 GB tunnel transfer; on-chip it is milliseconds
+        import jax.numpy as jnp
+        ax = jnp.linspace(0, 1, n, dtype=jnp.float32)
+        x, y, z = ax[None, None, :], ax[None, :, None], ax[:, None, None]
+        g = 0.5 + 0.35 * jnp.sin(12 * x) * jnp.cos(10 * y) * jnp.sin(8 * z)
+        g = g + 0.15 * jnp.exp(
+            -((x - 0.5) ** 2 + (y - 0.5) ** 2 + (z - 0.5) ** 2) * 40)
+        g = g.astype(jnp.float32)
+    else:
+        z, y, x = np.meshgrid(*([np.linspace(0, 1, n, dtype=np.float32)] * 3),
+                              indexing="ij")
+        g = 0.5 + 0.35 * np.sin(12 * x) * np.cos(10 * y) * np.sin(8 * z)
+        g += 0.15 * np.exp(
+            -((x - 0.5) ** 2 + (y - 0.5) ** 2 + (z - 0.5) ** 2) * 40)
+        g = g.astype(np.float32)
+    scene = simple_scene(g)
     cam = Camera.create(from_=(0.5, 0.5, -1.6), at=(0.5, 0.5, 0.5), fovy=45.0)
     return dataclasses.replace(scene, camera=cam)
 
@@ -51,10 +64,22 @@ def main() -> None:
     method = os.environ.get("BENCH_METHOD", "auto")
 
     scene = build_scene(grid_n)
+    n_lights = int(os.environ.get("BENCH_EXTRA_LIGHTS", 0))
+    if n_lights:
+        from ovr_tpu.core.scene import Light
+        lights = tuple(
+            Light.create(direction=(0.4 * i - 0.6, 0.3, -1.0),
+                         intensity=0.5 + 0.1 * i)
+            for i in range(n_lights))
+        scene = dataclasses.replace(scene, lights=lights)
     scene = jax.device_put(scene)
+    ray_chunk = os.environ.get("BENCH_RAY_CHUNK")
+    adaptive = float(os.environ.get("BENCH_ADAPTIVE", 1.0))
     cfg = api.RenderConfig(
         width=width, height=height, spp=1, sampling_rate=rate,
         shading=shading, fast_math=True, use_macrocells=True, method=method,
+        ray_chunk=int(ray_chunk) if ray_chunk else None,
+        adaptive_scale=adaptive,
     ).resolved(scene)
 
     from ovr_tpu.render import accel
@@ -136,7 +161,10 @@ def main() -> None:
     platform = jax.devices()[0].platform
     shading = cfg.shading  # backward forces 'none'; key must record reality
     cfg_key = (f"{platform}-{grid_n}-{width}x{height}-{rate}-{shading}"
-               f"-{method}" + ("-bwd" if backward else ""))
+               f"-{method}" + ("-bwd" if backward else "")
+               + (f"-l{n_lights}" if n_lights else "")
+               + (f"-rc{ray_chunk}" if ray_chunk else "")
+               + (f"-as{adaptive:g}" if adaptive != 1.0 else ""))
     baseline_path = os.path.join(os.path.dirname(__file__),
                                  "BASELINE_SELF.json")
     book = {}

@@ -51,7 +51,12 @@ class RenderConfig:
     # (render.shearwarp; requires eligibility — raises otherwise);
     # "auto" = shearwarp when eligible, else march.
     method: str = "march"
-    sw_inter_cap: int = 768  # shear-warp intermediate resolution cap
+    # shear-warp intermediate-fan resolution cap per axis; the effective
+    # fan is min(2 x voxel dims, 1.25 x the paired screen axis, this cap)
+    sw_inter_cap: int = 2048
+    # round the shear-warp slice count up to a multiple (the bricked path
+    # partitions the slice range evenly over n_bricks devices)
+    sw_slice_align: int = 1
     sw_bf16: bool = False  # bfloat16 shear-warp matmuls (f32 accumulate)
     # fuse the unshaded slice loop into the Pallas TPU kernel (ops.swslice;
     # VMEM-resident carry); gradients route through the over_scan adjoint
@@ -529,6 +534,21 @@ class Renderer:
             shadow_max_steps=None)
         self._light_grid = None
         self._reset()
+
+    def set_volume_data(self, grid) -> None:
+        """Swap the volume's voxel data in place (time-varying sequences,
+        `CreateArray3DScalarFromFile` reloads). Same shape means no
+        re-jit — the compiled render is reused and only the upload costs;
+        issue `jax.device_put(next_grid)` before rendering the current
+        frame to overlap the transfer with compute (apps/render_batch
+        --sequence does). Macrocells and the shadow lattice rebuild
+        lazily at the next commit."""
+        vol = dataclasses.replace(self.scene.volume,
+                                  grid=jnp.asarray(grid, jnp.float32))
+        self.scene = dataclasses.replace(self.scene, volume=vol)
+        self._macrocells = None
+        self._light_grid = None
+        self._reset(rejit=False)
 
     def set_volume_density_scale(self, s: float) -> None:
         self.scene = dataclasses.replace(

@@ -120,8 +120,11 @@ class StructuredVolume:
                data_range=None) -> "StructuredVolume":
         grid = _as_f32(grid)
         if data_range is None:
-            gnp = np.asarray(grid)
-            data_range = (float(gnp.min()), float(gnp.max()))
+            if hasattr(grid, "devices"):  # jax array: reduce on device
+                data_range = (float(grid.min()), float(grid.max()))
+            else:
+                gnp = np.asarray(grid)
+                data_range = (float(gnp.min()), float(gnp.max()))
         return StructuredVolume(
             grid=grid, world_lo=_as_f32(world_lo), world_hi=_as_f32(world_hi),
             data_range=_as_f32(data_range),

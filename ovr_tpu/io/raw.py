@@ -56,6 +56,41 @@ def load_raw_volume(
     return grid, (float(grid.min()), float(grid.max()))
 
 
+def sequence_paths(spec: str, start: int = 0, limit: int = 100000
+                   ) -> list[str]:
+    """Resolve a time-varying volume sequence (BASELINE config #3).
+
+    `spec` with a %-style index (`vorts_%04d.raw`) expands consecutive
+    indices from `start` until a file is missing; otherwise it is a glob
+    pattern (`vorts_*.raw`), sorted. Raises if nothing matches.
+    """
+    if "%" in spec:
+        out = []
+        i = start
+        while i < start + limit:
+            p = spec % i
+            if not os.path.exists(p):
+                break
+            out.append(p)
+            i += 1
+    else:
+        import glob
+
+        out = sorted(glob.glob(spec))
+    if not out:
+        raise FileNotFoundError(f"no sequence files match: {spec}")
+    return out
+
+
+def load_raw_sequence(spec: str, dims, vtype, offset: int = 0,
+                      big_endian: bool = False):
+    """Generator over a raw-file sequence: yields (path, grid (Z, Y, X)).
+    Per-timestep params match `load_raw_volume`."""
+    for p in sequence_paths(spec):
+        grid, _ = load_raw_volume(p, dims, vtype, offset, big_endian)
+        yield p, grid
+
+
 def _load_native(path, count, vtype, offset, big_endian) -> Optional[np.ndarray]:
     """Native fast path; returns None when the extension isn't built."""
     try:

@@ -62,13 +62,23 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128  # fan-width padding granularity = one vreg of lanes
 CHUNK = 128  # TF-table lanes per gather chunk
 
-# scalar vector layout (SMEM input, shape (1, N_SCALARS))
+# scalar vector layout (SMEM input, shape (1, N_SCALARS)).
+# S_LO1/EX1/LO2/EX2 are the SAMPLE box (voxel texel coordinates); the
+# S_C* entries are the CLIP box (ray-interval clamp) — they differ only on
+# the bricked path (parallel.bricks), where each device samples its local
+# slab but integrates exactly its ownership interval. S_SMP0/S_SMPSC map
+# traversal depth z_rel to the local grid's axial texel coordinate
+# (c = (z_rel - S_SMP0) * S_SMPSC - 0.5); unbricked they reduce to
+# (0, NA/EXA). S_OFF folds the slice-subrange offset (slice0 + jitter).
 (S_LO1, S_EX1, S_LO2, S_EX2, S_EW1, S_EW2, S_DW1, S_DW2, S_HALF, S_DZ,
  S_OFF, S_VLO, S_VSCALE, S_BASE, S_LAM0, S_NA, S_DLAM, S_EXA,
  S_ORTHO, S_LD1, S_LD2, S_LDA, S_K1O, S_K2O, S_INVDA, S_DZDLAM, S_NLA,
  S_W00, S_W01, S_W02, S_W10, S_W11, S_W12, S_W20, S_W21, S_W22,
- S_PAD0, S_PAD1, S_PAD2, S_PAD3) = range(40)
-N_SCALARS = 40
+ S_CLO1, S_CEX1, S_CLO2, S_CEX2, S_CLA, S_CHA, S_SMP0, S_SMPSC,
+ S_GLO1, S_GEX1, S_GLO2, S_GEX2) = range(48)
+# up to 4 extra directional lights, 4 slots each: d_w1, d_w2, d_axis, I
+S_EL0 = 48
+N_SCALARS = 64
 
 
 def _tf_gather(tab_ref, ch, idx, n_chunks):
@@ -112,12 +122,20 @@ def _dot(a, b, bf16, trans_b=False):
                                preferred_element_type=jnp.float32)
 
 
-def _kernel(k0_ref, k0l_ref, w0_ref, vol0_ref, vol1_ref, lg0_ref, lg1_ref,
+def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, vol0a_ref, vol0b_ref,
+            vol1a_ref, vol1b_ref, lg0_ref, lg1_ref,
             pg_ref, qg_ref, tab_ref, sc_ref, out_ref, prev_s, *, n_r, n_c,
-            n_orig, n_chunks, r_tile, wi_p, win, mode, l_r, l_c, bf16):
+            n_orig, n_chunks, r_tile, wi_p, win, mode, l_r, l_c, bf16,
+            paired, col_chunk, n_extra):
     """One (row tile, slice) grid step. out_ref (8, R, Wi) doubles as the
     compositing accumulator (VMEM-resident until the tile changes); rows
-    [c_r, c_g, c_b, g_x, g_y, g_z, depth, trans->alpha]."""
+    [c_r, c_g, c_b, g_x, g_y, g_z, depth, trans->alpha].
+
+    `paired`: block-pair streaming — each slab arrives as two consecutive
+    (WB=win)-row HBM blocks (vol*a/vol*b at block rows wb, wb+1) instead of
+    the full plane, so HBM traffic and VMEM scale with the row *window*,
+    not the plane (the 1024^3-class path). Unpaired: vol*b alias vol*a and
+    hold the whole plane."""
     t = pl.program_id(0)
     j = pl.program_id(1)
     n_slices = pl.num_programs(1)
@@ -138,43 +156,58 @@ def _kernel(k0_ref, k0l_ref, w0_ref, vol0_ref, vol1_ref, lg0_ref, lg1_ref,
     ortho = sc(S_ORTHO) > 0.5
 
     # z-lerp weight (fz recomputed to match the prefetched
-    # k0 = clip(floor(c), 0, n_a - 2))
-    c = jnp.clip(z_rel / sc(S_EXA) * sc(S_NA) - 0.5, 0.0, sc(S_NA) - 1.0)
+    # k0 = clip(floor(c), 0, n_a - 2)); axial texel mapping goes through
+    # the sample box (S_SMP0/S_SMPSC), which is the global box unbricked
+    c = jnp.clip((z_rel - sc(S_SMP0)) * sc(S_SMPSC) - 0.5, 0.0,
+                 sc(S_NA) - 1.0)
     kf = jnp.clip(jnp.floor(c), 0.0, sc(S_NA) - 2.0)
     fz = c - kf
 
     # window of source rows this row tile touches (prefetched in units of
-    # 8 rows so Mosaic can prove sublane alignment of the dynamic slice)
+    # 8 rows so Mosaic can prove sublane alignment of the dynamic slice).
+    # Paired mode avoids value-level dynamic slicing (no Mosaic lowering):
+    # interpolation rows are built in block-PAIR coordinates and the row
+    # matmul splits across the two blocks — two MXU matmuls, summed.
     w0 = w0_ref[t, j] * 8
-    win0 = vol0_ref[0, pl.dslice(w0, win), :]
-    win1 = vol1_ref[0, pl.dslice(w0, win), :]
-    plane_w = win0 * (1.0 - fz) + win1 * fz  # (W, Nc)
+    if paired:
+        row_base = (wb_ref[t, j] * win).astype(jnp.float32)
+        plane_a = vol0a_ref[0] * (1.0 - fz) + vol1a_ref[0] * fz
+        plane_b = vol0b_ref[0] * (1.0 - fz) + vol1b_ref[0] * fz
+        n_w = 2 * win
 
-    # world coords of this tile's intermediate pixels on the plane
+        def row_dot(w):
+            return (_dot(w[:, :win], plane_a, bf16)
+                    + _dot(w[:, win:], plane_b, bf16))
+    else:
+        row_base = w0.astype(jnp.float32)
+        win0 = vol0a_ref[0, pl.dslice(w0, win), :]
+        win1 = vol1a_ref[0, pl.dslice(w0, win), :]
+        plane_w = win0 * (1.0 - fz) + win1 * fz  # (W, Nc)
+        n_w = win
+
+        def row_dot(w):
+            return _dot(w, plane_w, bf16)
+
+    # row-shared quantities (independent of fan columns)
     pg = pg_ref[0, :]  # (Wi,)
     qg = qg_ref[:, 0]  # (R,)
-    x1 = jnp.where(ortho, pg + sc(S_DW1) * lam, sc(S_EW1) + pg * lam)
     x2 = jnp.where(ortho, qg + sc(S_DW2) * lam, sc(S_EW2) + qg * lam)
-    vc = jnp.clip((x1 - sc(S_LO1)) / sc(S_EX1) * n_c - 0.5, 0.0, n_c - 1.0)
     vr = jnp.clip((x2 - sc(S_LO2)) / sc(S_EX2) * n_r - 0.5, 0.0, n_r - 1.0)
-    vr_loc = jnp.clip(vr - w0.astype(jnp.float32), 0.0, win - 1.0)
-
-    # interpolation matrices in registers; two windowed MXU matmuls
-    # (rows-first order matches the XLA reference loop bit-for-bit: the
-    # windowed row matmul sums the same two nonzero hat terms)
-    wc = _interp_w(vc, n_c)  # (Wi, Nc)
-    wr = _interp_w(vr_loc, win)  # (R, W)
-    t1 = _dot(wr, plane_w, bf16)  # (R, Nc)
-    smp = _dot(t1, wc, bf16, trans_b=True)  # (R, Wi)
-
-    # exact per-pixel plane/ray interval overlap (inline slab test in
-    # ray-parameter units; principal-axis range folded into S_LAM0/S_EXA)
-    pp = jnp.broadcast_to(pg[None, :], (r_tile, wi_p))
-    qq = jnp.broadcast_to(qg[:, None], (r_tile, wi_p))
-    d1 = jnp.where(ortho, sc(S_DW1), pp)
-    d2 = jnp.where(ortho, sc(S_DW2), qq)
-    o1 = jnp.where(ortho, pp, sc(S_EW1))
-    o2 = jnp.where(ortho, qq, sc(S_EW2))
+    vr_loc = jnp.clip(vr - row_base, 0.0, n_w - 1.0)
+    wr = _interp_w(vr_loc, n_w)  # (R, W)
+    t1 = row_dot(wr)  # (R, Nc)
+    if mode >= 1:
+        g2row = row_dot(_interp_dw(vr_loc, n_w))  # (R, Nc)
+    if mode == 2:
+        cl = jnp.clip(z_rel / sc(S_EXA) * sc(S_NLA) - 0.5, 0.0,
+                      sc(S_NLA) - 1.0)
+        kl = jnp.clip(jnp.floor(cl), 0.0, sc(S_NLA) - 2.0)
+        fzl = cl - kl
+        # the lattice spans the GLOBAL box (S_G*), not the sample box
+        lplane = lg0_ref[0] * (1.0 - fzl) + lg1_ref[0] * fzl
+        lvr = jnp.clip((x2 - sc(S_GLO2)) / sc(S_GEX2) * l_r - 0.5, 0.0,
+                       l_r - 1.0)
+        lt = _dot(_interp_w(lvr, l_r), lplane, bf16)  # (R, Lc)
 
     def axis_rng(o, d, lo, ext):
         small = jnp.abs(d) < 1e-12
@@ -187,100 +220,129 @@ def _kernel(k0_ref, k0l_ref, w0_ref, vol0_ref, vol1_ref, lg0_ref, lg1_ref,
                          jnp.maximum(a, b))
         return lo_t, hi_t
 
-    l1, h1 = axis_rng(o1, d1, sc(S_LO1), sc(S_EX1))
-    l2, h2 = axis_rng(o2, d2, sc(S_LO2), sc(S_EX2))
-    la = sc(S_LAM0)
-    ha = sc(S_LAM0) + sc(S_EXA) * sc(S_DLAM)
-    l_in = jnp.maximum(jnp.maximum(jnp.maximum(l1, l2), la), 0.0)
-    l_out = jnp.maximum(jnp.minimum(jnp.minimum(h1, h2), ha), l_in)
-    speed = jnp.where(ortho, 1.0, jnp.sqrt(pp * pp + qq * qq + 1.0))
-    seg_lo = jnp.maximum(lam - sc(S_HALF), l_in)
-    seg_hi = jnp.minimum(lam + sc(S_HALF), l_out)
-    dt_w = jnp.maximum(seg_hi - seg_lo, 0.0) * speed
+    d2 = jnp.where(ortho, sc(S_DW2), qg)
+    o2 = jnp.where(ortho, qg, sc(S_EW2))
+    l2, h2 = axis_rng(o2, d2, sc(S_CLO2), sc(S_CEX2))  # (R,)
+    la = sc(S_CLA)
+    ha = sc(S_CHA)
 
-    # classify per 128-lane chunk: normalized value -> two-tap nodal lookup
-    v = jnp.clip((smp - sc(S_VLO)) * sc(S_VSCALE), 0.0, 1.0)
-    cc = v * (n_orig - 1)
-    i0_f = jnp.clip(jnp.floor(cc), 0.0, n_orig - 1.0)
-    f = cc - i0_f
+    # sweep the fan width in column chunks: the interpolation matrix,
+    # classification and shading never materialize wider than one chunk
+    # (Wi x Nc weights would be ~8 MB of VMEM at a 2048-wide fan over 1024
+    # columns; col_chunk = wi_p for small fans = the unchunked fast path)
+    for w in range(wi_p // col_chunk):
+        cs = slice(w * col_chunk, (w + 1) * col_chunk)
+        pgc = pg[cs]  # (CC,)
+        x1 = jnp.where(ortho, pgc + sc(S_DW1) * lam, sc(S_EW1) + pgc * lam)
+        vc = jnp.clip((x1 - sc(S_LO1)) / sc(S_EX1) * n_c - 0.5, 0.0,
+                      n_c - 1.0)
+        wc = _interp_w(vc, n_c)  # (128, Nc)
+        smp = _dot(t1, wc, bf16, trans_b=True)  # (R, 128)
 
-    parts = {0: [], 1: [], 2: [], 3: []}
-    for w in range(wi_p // CHUNK):
-        sl = slice(w * CHUNK, (w + 1) * CHUNK)
-        i0 = i0_f[:, sl].astype(jnp.int32)
-        i1 = jnp.minimum(i0 + 1, n_orig - 1)
-        fw = f[:, sl]
-        for ch in range(4):
-            lo_v = _tf_gather(tab_ref, ch, i0, n_chunks)
-            hi_v = _tf_gather(tab_ref, ch, i1, n_chunks)
-            parts[ch].append(lo_v * (1.0 - fw) + hi_v * fw)
-    r = jnp.clip(jnp.concatenate(parts[0], axis=1), 0.0, 1.0)
-    g = jnp.clip(jnp.concatenate(parts[1], axis=1), 0.0, 1.0)
-    b = jnp.clip(jnp.concatenate(parts[2], axis=1), 0.0, 1.0)
-    a_raw = jnp.concatenate(parts[3], axis=1)
+        # exact per-pixel plane/ray interval overlap (inline slab test)
+        d1 = jnp.where(ortho, sc(S_DW1), pgc)
+        o1 = jnp.where(ortho, pgc, sc(S_EW1))
+        l1, h1 = axis_rng(o1, d1, sc(S_CLO1), sc(S_CEX1))  # (128,)
+        l_in = jnp.maximum(
+            jnp.maximum(jnp.maximum(l1[None, :], l2[:, None]), la), 0.0)
+        l_out = jnp.maximum(
+            jnp.minimum(jnp.minimum(h1[None, :], h2[:, None]), ha), l_in)
+        pp = jnp.broadcast_to(pgc[None, :], (r_tile, col_chunk))
+        qq = jnp.broadcast_to(qg[:, None], (r_tile, col_chunk))
+        speed = jnp.where(ortho, 1.0, jnp.sqrt(pp * pp + qq * qq + 1.0))
+        seg_lo = jnp.maximum(lam - sc(S_HALF), l_in)
+        seg_hi = jnp.minimum(lam + sc(S_HALF), l_out)
+        dt_w = jnp.maximum(seg_hi - seg_lo, 0.0) * speed
 
-    # opacity correction 1 - (1-a)^(base*dt), nearly_equal skip
-    k = sc(S_BASE) * dt_w
-    a_c = jnp.clip(a_raw, 0.0, 1.0 - 1e-7)
-    a = jnp.clip(1.0 - jnp.exp(k * jnp.log1p(-a_c)), 0.0, 1.0)
-    a = jnp.where(jnp.abs(k - 1.0) < 1e-7, jnp.clip(a_raw, 0.0, 1.0), a)
-    a = jnp.where(dt_w > 0.0, a, 0.0)
-    a = jnp.minimum(a, 1.0 - 1e-6)  # over_scan's A_MAX (VJP consistency)
+        # classify per 128-lane sub-chunk: value -> two-tap nodal lookup
+        v = jnp.clip((smp - sc(S_VLO)) * sc(S_VSCALE), 0.0, 1.0)
+        cc = v * (n_orig - 1)
+        i0_f = jnp.clip(jnp.floor(cc), 0.0, n_orig - 1.0)
+        f = cc - i0_f
+        parts = {0: [], 1: [], 2: [], 3: []}
+        for u in range(col_chunk // CHUNK):
+            sl = slice(u * CHUNK, (u + 1) * CHUNK)
+            i0 = i0_f[:, sl].astype(jnp.int32)
+            i1 = jnp.minimum(i0 + 1, n_orig - 1)
+            fw = f[:, sl]
+            for ch in range(4):
+                lo_v = _tf_gather(tab_ref, ch, i0, n_chunks)
+                hi_v = _tf_gather(tab_ref, ch, i1, n_chunks)
+                parts[ch].append(lo_v * (1.0 - fw) + hi_v * fw)
 
-    if mode >= 1:
-        # analytic bilinear-derivative gradient (world units)
-        dwc = _interp_dw(vc, n_c)
-        dwr = _interp_dw(vr_loc, win)
-        g1 = _dot(t1, dwc, bf16, trans_b=True) * (n_c / sc(S_EX1))
-        g2 = _dot(_dot(dwr, plane_w, bf16), wc, bf16,
-                  trans_b=True) * (n_r / sc(S_EX2))
-        ds = jnp.where(j > 0, (smp - prev_s[:, :]) / sc(S_DZDLAM), 0.0)
-        k1 = jnp.where(ortho, sc(S_K1O), pp)
-        k2 = jnp.where(ortho, sc(S_K2O), qq)
-        ga = (ds - g1 * k1 - g2 * k2) * sc(S_INVDA)
-        n1, n2, na = -g1, -g2, -ga
-        inv = jax.lax.rsqrt(n1 * n1 + n2 * n2 + na * na + 1e-12)
-        cos_nl = jnp.abs(sc(S_LD1) * n1 + sc(S_LD2) * n2
-                         + sc(S_LDA) * na) * inv
-        if mode == 2:
-            cl = jnp.clip(z_rel / sc(S_EXA) * sc(S_NLA) - 0.5, 0.0,
-                          sc(S_NLA) - 1.0)
-            kl = jnp.clip(jnp.floor(cl), 0.0, sc(S_NLA) - 2.0)
-            fzl = cl - kl
-            lplane = lg0_ref[0] * (1.0 - fzl) + lg1_ref[0] * fzl
-            lvc = jnp.clip((x1 - sc(S_LO1)) / sc(S_EX1) * l_c - 0.5, 0.0,
-                           l_c - 1.0)
-            lvr = jnp.clip((x2 - sc(S_LO2)) / sc(S_EX2) * l_r - 0.5, 0.0,
-                           l_r - 1.0)
-            lt = _dot(_interp_w(lvr, l_r), lplane, bf16)  # (R, Lc)
-            sh = _dot(lt, _interp_w(lvc, l_c), bf16, trans_b=True)
-            shadow = jnp.clip(sh, 0.0, 1.0)
-        else:
-            shadow = 0.0
-        shade = 0.5 + cos_nl * (1.0 - shadow)  # 0.5*cos*intensity(=2)
-        r = jnp.clip(r * shade, 0.0, 1.0)
-        g = jnp.clip(g * shade, 0.0, 1.0)
-        b = jnp.clip(b * shade, 0.0, 1.0)
-        nu1, nu2, nua = n1 * inv, n2 * inv, na * inv
-        ncx = jnp.clip(sc(S_W00) * nu1 + sc(S_W01) * nu2 + sc(S_W02) * nua,
-                       0.0, 1.0)
-        ncy = jnp.clip(sc(S_W10) * nu1 + sc(S_W11) * nu2 + sc(S_W12) * nua,
-                       0.0, 1.0)
-        ncz = jnp.clip(sc(S_W20) * nu1 + sc(S_W21) * nu2 + sc(S_W22) * nua,
-                       0.0, 1.0)
+        def cat(xs):
+            return xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=1)
 
-    trans = out_ref[7, :, :]
-    aw = trans * a
-    out_ref[0, :, :] += aw * r
-    out_ref[1, :, :] += aw * g
-    out_ref[2, :, :] += aw * b
-    if mode >= 1:
-        out_ref[3, :, :] += aw * ncx
-        out_ref[4, :, :] += aw * ncy
-        out_ref[5, :, :] += aw * ncz
-        prev_s[:, :] = smp
-    out_ref[6, :, :] += aw * (lam * speed)
-    out_ref[7, :, :] = trans * (1.0 - a)
+        r = jnp.clip(cat(parts[0]), 0.0, 1.0)
+        g = jnp.clip(cat(parts[1]), 0.0, 1.0)
+        b = jnp.clip(cat(parts[2]), 0.0, 1.0)
+        a_raw = cat(parts[3])
+
+        # opacity correction 1 - (1-a)^(base*dt), nearly_equal skip
+        k = sc(S_BASE) * dt_w
+        a_c = jnp.clip(a_raw, 0.0, 1.0 - 1e-7)
+        a = jnp.clip(1.0 - jnp.exp(k * jnp.log1p(-a_c)), 0.0, 1.0)
+        a = jnp.where(jnp.abs(k - 1.0) < 1e-7,
+                      jnp.clip(a_raw, 0.0, 1.0), a)
+        a = jnp.where(dt_w > 0.0, a, 0.0)
+        a = jnp.minimum(a, 1.0 - 1e-6)  # over_scan's A_MAX
+
+        if mode >= 1:
+            # analytic bilinear-derivative gradient (world units)
+            dwc = _interp_dw(vc, n_c)
+            g1 = _dot(t1, dwc, bf16, trans_b=True) * (n_c / sc(S_EX1))
+            g2 = _dot(g2row, wc, bf16, trans_b=True) * (n_r / sc(S_EX2))
+            ds = jnp.where(j > 0, (smp - prev_s[:, cs]) / sc(S_DZDLAM),
+                           0.0)
+            k1 = jnp.where(ortho, sc(S_K1O), pp)
+            k2 = jnp.where(ortho, sc(S_K2O), qq)
+            ga = (ds - g1 * k1 - g2 * k2) * sc(S_INVDA)
+            n1, n2, na = -g1, -g2, -ga
+            inv = jax.lax.rsqrt(n1 * n1 + n2 * n2 + na * na + 1e-12)
+            cos_nl = jnp.abs(sc(S_LD1) * n1 + sc(S_LD2) * n2
+                             + sc(S_LDA) * na) * inv
+            if mode == 2:
+                lvc = jnp.clip((x1 - sc(S_GLO1)) / sc(S_GEX1) * l_c - 0.5,
+                               0.0, l_c - 1.0)
+                sh = _dot(lt, _interp_w(lvc, l_c), bf16, trans_b=True)
+                shadow = jnp.clip(sh, 0.0, 1.0)
+            else:
+                shadow = 0.0
+            # total = primary (x0.5, intensity 2 folded) + extra dir
+            # lights (integrator._march_step's shade formula)
+            total = cos_nl
+            for i in range(n_extra):
+                b0 = S_EL0 + 4 * i
+                ce = jnp.abs(sc(b0) * n1 + sc(b0 + 1) * n2
+                             + sc(b0 + 2) * na) * inv
+                total = total + 0.5 * ce * sc(b0 + 3)
+            shade = 0.5 + total * (1.0 - shadow)
+            r = jnp.clip(r * shade, 0.0, 1.0)
+            g = jnp.clip(g * shade, 0.0, 1.0)
+            b = jnp.clip(b * shade, 0.0, 1.0)
+            nu1, nu2, nua = n1 * inv, n2 * inv, na * inv
+            ncx = jnp.clip(
+                sc(S_W00) * nu1 + sc(S_W01) * nu2 + sc(S_W02) * nua,
+                0.0, 1.0)
+            ncy = jnp.clip(
+                sc(S_W10) * nu1 + sc(S_W11) * nu2 + sc(S_W12) * nua,
+                0.0, 1.0)
+            ncz = jnp.clip(
+                sc(S_W20) * nu1 + sc(S_W21) * nu2 + sc(S_W22) * nua,
+                0.0, 1.0)
+
+        trans = out_ref[7, :, cs]
+        aw = trans * a
+        out_ref[0, :, cs] += aw * r
+        out_ref[1, :, cs] += aw * g
+        out_ref[2, :, cs] += aw * b
+        if mode >= 1:
+            out_ref[3, :, cs] += aw * ncx
+            out_ref[4, :, cs] += aw * ncy
+            out_ref[5, :, cs] += aw * ncz
+            prev_s[:, cs] = smp
+        out_ref[6, :, cs] += aw * (lam * speed)
+        out_ref[7, :, cs] = trans * (1.0 - a)
 
     @pl.when(j == n_slices - 1)
     def _emit():
@@ -315,7 +377,8 @@ def _window_offsets(scalars, pg, qg_p, k0, n_slices, n_r, r_tile, win):
 def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
                            n_slices: int, mode: int = 0, lgrid=None,
                            k0l=None, interpret=None, r_tile: int = 256,
-                           win_r: int = 0, bf16: bool = False):
+                           win_r: int = 0, bf16: bool = False,
+                           n_extra: int = 0):
     """Run the fused slice loop. grid_v (A, Nr, Nc) traversal-ordered
     volume; rgba_tab (K, 4) merged nodal table; scalars (N_SCALARS,) f32
     (S_* layout); pg (Wi,), qg (Hi,); k0 (n_slices,) int32 slab indices
@@ -363,40 +426,97 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
                           k0, n_slices, n_r, r_tile, win)
 
     vdt = jnp.bfloat16 if bf16 else jnp.float32
+    grid_hbm = grid_v.astype(vdt)
+    paired = win < n_r
+    if paired:
+        # block-pair streaming: slab rows arrive as two consecutive
+        # win-row blocks (wb, wb+1); pad rows so block wb+1 always exists
+        n_blocks = (n_r - win) // win + 2
+        pad_rows = n_blocks * win - n_r
+        if pad_rows:
+            grid_hbm = jnp.concatenate(
+                [grid_hbm,
+                 jnp.repeat(grid_hbm[:, -1:, :], pad_rows, axis=1)], axis=1)
+        wb = (w0s * 8) // win
+    else:
+        wb = jnp.zeros_like(w0s)
+
+    # column chunk: full fan width unless the per-chunk interpolation
+    # weights (wc, + dwc when shaded) would blow VMEM (~3 MB cap)
+    w_mult = 2 if mode >= 1 else 1
+    m = wi_p // LANES
+    cc = wi_p
+    for k in range(m, 0, -1):
+        if m % k:
+            continue
+        cc = k * LANES
+        if cc * n_c * 4 * w_mult <= (3 << 20):
+            break
 
     kernel = functools.partial(
         _kernel, n_r=n_r, n_c=n_c, n_orig=n_orig, n_chunks=n_chunks,
         r_tile=r_tile, wi_p=wi_p, win=win, mode=mode, l_r=l_r, l_c=l_c,
-        bf16=bf16)
+        bf16=bf16, paired=paired, col_chunk=cc, n_extra=n_extra)
+    if paired:
+        vol_specs = [
+            pl.BlockSpec((1, win, n_c),
+                         lambda t, j, k0_, kl_, w0_, wb_: (
+                             k0_[j], wb_[t, j], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, win, n_c),
+                         lambda t, j, k0_, kl_, w0_, wb_: (
+                             k0_[j], wb_[t, j] + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, win, n_c),
+                         lambda t, j, k0_, kl_, w0_, wb_: (
+                             k0_[j] + 1, wb_[t, j], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, win, n_c),
+                         lambda t, j, k0_, kl_, w0_, wb_: (
+                             k0_[j] + 1, wb_[t, j] + 1, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        stub = pl.BlockSpec((1, min(8, n_r), min(128, n_c)),
+                            lambda t, j, k0_, kl_, w0_, wb_: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        vol_specs = [
+            pl.BlockSpec((1, n_r, n_c),
+                         lambda t, j, k0_, kl_, w0_, wb_: (k0_[j], 0, 0),
+                         memory_space=pltpu.VMEM),
+            stub,
+            pl.BlockSpec((1, n_r, n_c),
+                         lambda t, j, k0_, kl_, w0_, wb_: (
+                             k0_[j] + 1, 0, 0),
+                         memory_space=pltpu.VMEM),
+            stub,
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_tiles, n_slices),
-        in_specs=[
-            pl.BlockSpec((1, n_r, n_c),
-                         lambda t, j, k0_, kl_, w0_: (k0_[j], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_r, n_c),
-                         lambda t, j, k0_, kl_, w0_: (k0_[j] + 1, 0, 0),
+        in_specs=vol_specs + [
+            pl.BlockSpec((1, l_r, l_c),
+                         lambda t, j, k0_, kl_, w0_, wb_: (kl_[j], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, l_r, l_c),
-                         lambda t, j, k0_, kl_, w0_: (kl_[j], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, l_r, l_c),
-                         lambda t, j, k0_, kl_, w0_: (
+                         lambda t, j, k0_, kl_, w0_, wb_: (
                              jnp.minimum(kl_[j] + 1, l_a - 1), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wi_p), lambda t, j, k0_, kl_, w0_: (0, 0),
+            pl.BlockSpec((1, wi_p),
+                         lambda t, j, k0_, kl_, w0_, wb_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_tile, 1), lambda t, j, k0_, kl_, w0_: (t, 0),
+            pl.BlockSpec((r_tile, 1),
+                         lambda t, j, k0_, kl_, w0_, wb_: (t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, n_chunks, 1, CHUNK),
-                         lambda t, j, k0_, kl_, w0_: (0, 0, 0, 0),
+                         lambda t, j, k0_, kl_, w0_, wb_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N_SCALARS), lambda t, j, k0_, kl_, w0_: (0, 0),
+            pl.BlockSpec((1, N_SCALARS),
+                         lambda t, j, k0_, kl_, w0_, wb_: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((8, r_tile, wi_p),
-                               lambda t, j, k0_, kl_, w0_: (0, t, 0),
+                               lambda t, j, k0_, kl_, w0_, wb_: (0, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM(
             (r_tile, wi_p) if mode >= 1 else (8, 8), jnp.float32)],
@@ -406,8 +526,8 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((8, hi_p, wi_p), jnp.float32),
         interpret=interpret,
-    )(k0.astype(jnp.int32), k0l.astype(jnp.int32), w0s,
-      grid_v.astype(vdt), grid_v.astype(vdt),
+    )(k0.astype(jnp.int32), k0l.astype(jnp.int32), w0s, wb,
+      grid_hbm, grid_hbm, grid_hbm, grid_hbm,
       lgrid.astype(jnp.float32), lgrid.astype(jnp.float32),
       pg_p.astype(jnp.float32).reshape(1, wi_p),
       qg_p.astype(jnp.float32).reshape(r_tile * n_tiles, 1), tab,

@@ -245,18 +245,74 @@ def _render_brick_rows(scene: Scene, camera: Camera, cfg: api.RenderConfig,
     return rgba.reshape(h, w, 4)
 
 
+def _render_brick_rows_sw(scene: Scene, camera: Camera,
+                          cfg: api.RenderConfig, bricked: BrickedVolume,
+                          light_grid, n_bricks: int, hb: int,
+                          composite) -> jnp.ndarray:
+    """Per-device body of the bricked shear-warp fast path: run the fused
+    slice loop on my brick's slab over my screen band's ray fan, then
+    ring-composite the fan-space partials over the brick axis and warp
+    once. The shared plane schedule comes from the scene's (global) world
+    box; my slab supplies `sample_box` (halo'd texels) and my ownership
+    z-range supplies `clip_box`, so per-plane intervals are exactly the
+    unbricked ones restricted to my segment.
+
+    View along the brick axis (sw.axis == 2): the slice range partitions
+    evenly over bricks (each device runs n_slices / B plane steps).
+    Transverse views: every device runs the full schedule on its (1/B-row)
+    slab planes — same total work, clipped laterally instead of axially.
+    """
+    from ovr_tpu.render import shearwarp as swr
+
+    sw = cfg.sw
+    dt = cfg.dtype
+    vol = dataclasses.replace(scene.volume, grid=bricked.bricks[0])
+    s = dataclasses.replace(scene, volume=vol)
+    sample_box = (bricked.brick_lo[0], bricked.brick_hi[0])
+    clip_box = (bricked.own_lo[0], bricked.own_hi[0])
+    b = jax.lax.axis_index(BRICK_AXIS)
+    if sw.axis == 2:
+        n_loc = sw.n_slices // n_bricks
+        order = b if sw.sign > 0 else (n_bricks - 1 - b)
+        slice0 = (order * n_loc).astype(dt)
+    else:
+        n_loc = sw.n_slices
+        slice0 = jnp.zeros((), dt)
+    row0 = jax.lax.axis_index(TILE_AXIS) * hb
+    color, grad, depth, alpha, asc, warp = swr.render_shearwarp(
+        s, cfg, camera, light_grid=light_grid, row0=row0, n_rows=hb,
+        sample_box=sample_box, clip_box=clip_box, slice0=slice0,
+        n_slices_loc=n_loc, fan_only=True)
+    hi_i, wi_i = alpha.shape
+    c, g, d, a = composite(
+        color.reshape(-1, 3), grad.reshape(-1, 3), depth.reshape(-1),
+        alpha.reshape(-1), asc.reshape(-1), BRICK_AXIS, n_bricks)
+    color, grad, depth, alpha = warp(
+        c.reshape(hi_i, wi_i, 3), g.reshape(hi_i, wi_i, 3),
+        d.reshape(hi_i, wi_i), a.reshape(hi_i, wi_i))
+    color, grad, depth, alpha = ig.finalize(color, grad, depth, alpha)
+    rgba = jnp.concatenate([color, alpha[..., None]], -1)
+    return rgba.reshape(hb, cfg.width, 4)
+
+
 def render_bricked(scene: Scene, bricked: BrickedVolume,
                    cfg: api.RenderConfig, mesh: Mesh,
                    camera: Optional[Camera] = None,
                    segment_steps: Optional[int] = None,
-                   use_ring: bool = True) -> jnp.ndarray:
+                   use_ring: bool = True,
+                   light_grid=None) -> jnp.ndarray:
     """Render with image rows sharded over `tiles` and the volume bricked
     over `bricks`. Returns (H, W, 4), row-sharded, replicated over bricks.
 
-    `segment_steps` bounds the per-brick march length; the default
-    cfg.max_steps is always safe (a grazing ray can spend its whole path in
-    one slab) — pass ~max_steps // n_bricks + margin when rays are known to
-    cross slabs transversally.
+    Routes to the shear-warp fast path when cfg carries a resolved plan
+    (cfg.sw): per-brick fused slice loops + fan-space ring compositing.
+    When the view's principal axis is the brick axis, resolve cfg with
+    `sw_slice_align=n_bricks` so the slice range partitions evenly.
+
+    `segment_steps` (march path only) bounds the per-brick march length;
+    the default cfg.max_steps is always safe (a grazing ray can spend its
+    whole path in one slab) — pass ~max_steps // n_bricks + margin when
+    rays are known to cross slabs transversally.
     """
     if camera is None:
         camera = scene.camera
@@ -267,12 +323,39 @@ def render_bricked(scene: Scene, bricked: BrickedVolume,
     assert bricked.n_bricks == n_bricks, (
         f"volume has {bricked.n_bricks} bricks, mesh axis is {n_bricks}")
     assert cfg.height % n_tiles == 0, "height must divide evenly over tiles"
+    composite = ring_composite if use_ring else gather_composite
+    scene_s = _strip_volume(scene)
+
+    if cfg.sw is not None:
+        sw = cfg.sw
+        if sw.axis == 2 and sw.n_slices % n_bricks != 0:
+            raise ValueError(
+                f"n_slices={sw.n_slices} must divide over {n_bricks} "
+                "bricks; resolve cfg with sw_slice_align=n_bricks")
+        if light_grid is None and api._wants_light_grid(cfg):
+            light_grid = api.build_light_grid(scene, cfg)
+        hb = cfg.height // n_tiles
+        rnd8 = lambda x: max(8, int(-(-x // 8) * 8))
+        sw_band = dataclasses.replace(
+            sw, inter_h=rnd8(max(64, sw.inter_h // n_tiles)))
+        cfg_band = dataclasses.replace(cfg, sw=sw_band)
+        lg = (light_grid if light_grid is not None
+              else jnp.zeros((2, 2, 2), cfg.dtype))
+        use_lg = light_grid is not None
+        fn = shard_map(
+            lambda s, c, bv, g: _render_brick_rows_sw(
+                s, c, cfg_band, bv, g if use_lg else None, n_bricks, hb,
+                composite),
+            mesh=mesh,
+            in_specs=(P(), P(), P(BRICK_AXIS), P()),
+            out_specs=P(TILE_AXIS),
+            check_vma=False,
+        )
+        return fn(scene_s, camera, bricked, lg)
+
     if segment_steps is None:
         segment_steps = cfg.max_steps
-    composite = ring_composite if use_ring else gather_composite
-
     screen = pixel_screen_coords(cfg.width, cfg.height, cfg.dtype)
-    scene_s = _strip_volume(scene)
 
     fn = shard_map(
         lambda s, c, bv, rows: _render_brick_rows(

@@ -119,10 +119,16 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
         return None  # surface compositing not factorized yet
     if getattr(scene, "instances", ()):
         return None  # multi-volume scenes composite via render.multivol
-    if cfg.shading != "none" and any(
-            lt.kind in ("directional", "point", "sunsky")
-            for lt in getattr(scene, "lights", ())):
-        return None  # extra shading lights: only the march shades them
+    lights = getattr(scene, "lights", ())
+    n_xdir = sum(1 for lt in lights
+                 if lt.kind in ("directional", "sunsky"))
+    n_xpt = sum(1 for lt in lights if lt.kind == "point")
+    # extra directional lights are extra cos-terms in the dense shade;
+    # point lights shade densely from the plane's world coordinates. The
+    # fused kernel's scalar slots cover <= 4 extra directional lights and
+    # no point lights; richer rigs run the XLA slice loop (still dense).
+    kernel_lights_ok = (cfg.shading == "none"
+                        or (n_xdir <= 4 and n_xpt == 0))
     if cfg.shading == "shadow" and not cfg.shadow_grid:
         return None  # per-sample shadow *march* stays on the march path
     try:
@@ -159,18 +165,27 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
     ext = np.asarray(vol.world_hi, np.float64) - np.asarray(
         vol.world_lo, np.float64)
     n_slices = max(4, int(round(float(ext[axis]) * cfg.sampling_rate)))
+    align = max(1, int(getattr(cfg, "sw_slice_align", 1)))
+    n_slices = -(-n_slices // align) * align
     zyx = vol.grid.shape
     dims_xyz = (zyx[2], zyx[1], zyx[0])
     cap = int(cfg.sw_inter_cap)
     rnd = lambda x: int(-(-x // 8) * 8)
-    wi = rnd(min(cap, max(64, 2 * dims_xyz[perp[0]])))
-    hi_i = rnd(min(cap, max(64, 2 * dims_xyz[perp[1]])))
+    # fan resolution: 2 samples per voxel laterally (volume Nyquist), but
+    # never beyond ~1.25x the paired screen axis — the warp output cannot
+    # use more; the fan auto-zooms to the visible ray footprint, so
+    # magnified views keep full detail at any cap
+    scr_p = cfg.height if swap else cfg.width
+    scr_q = cfg.width if swap else cfg.height
+    wi = rnd(min(cap, max(64, min(2 * dims_xyz[perp[0]],
+                                  int(1.25 * scr_p)))))
+    hi_i = rnd(min(cap, max(64, min(2 * dims_xyz[perp[1]],
+                                    int(1.25 * scr_q)))))
 
     # source-row window for the fused kernel: bound the fan-row -> voxel-row
     # slope |dvr/drow| = (Nr/ex2) * dq * (1 | max|lam|) over the screen
     # border (q is monotone in each screen axis between poles), with 25%
     # headroom for band-sharded fans plus the 8-alignment margin.
-    r_tile = min(256, rnd(hi_i))
     n_r = dims_xyz[w2]
     ex2 = float(ext[w2])
     eye = np.asarray(camera.from_, np.float64)
@@ -188,12 +203,28 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
         lam_f = max(abs(lo - eye[axis]), abs(hi - eye[axis]))
     q_span = (q.max() - q.min()) * 1.02 + 2e-6
     b_max = n_r / ex2 * (q_span / hi_i) * lam_f
-    win_r = rnd(int(np.ceil(1.25 * b_max * r_tile)) + 24)
-    if win_r >= n_r:
-        win_r = 0
+    # pick the largest row tile whose kernel working set fits VMEM:
+    # double-buffered out block + prev_s scratch + the slab row windows
+    # (block-pair streamed when the window is smaller than the plane —
+    # the 1024^3-class path where HBM traffic scales with the window)
+    n_c_plane = dims_xyz[w1]
+    vbytes = 2 if cfg.sw_bf16 else 4
+    budget = 10 * (1 << 20)
+    r_tile = win_r = None
+    for rt in (256, 128, 64, 32):
+        rt_c = min(rt, rnd(hi_i))
+        win_c = rnd(int(np.ceil(1.25 * b_max * rt_c)) + 24)
+        win_c = min(win_c, n_r)
+        vol_bytes = (2 * 4 * win_c * n_c_plane * vbytes if win_c < n_r
+                     else 2 * 2 * n_r * n_c_plane * vbytes)
+        est = (2 * 8 * rt_c * wi * 4 + rt_c * wi * 4 + vol_bytes)
+        r_tile, win_r = rt_c, (win_c if win_c < n_r else 0)
+        if est <= budget:
+            break
     import jax
 
-    pallas = bool(cfg.sw_pallas) and jax.default_backend() == "tpu"
+    pallas = (bool(cfg.sw_pallas) and jax.default_backend() == "tpu"
+              and kernel_lights_ok)
     return SwStatic(axis=axis, sign=sign, n_slices=n_slices,
                     inter_h=hi_i, inter_w=wi, swap=swap,
                     separable=separable, bf16=bool(cfg.sw_bf16),
@@ -336,12 +367,30 @@ from functools import partial
 def _kernel_scalars(dt, *, lo1, ex1, lo2, ex2, e1, e2, dw1, dw2, half, dz,
                     off, vr, base, lam0, n_a, dlam, exa, ortho,
                     ld=(0.0, 0.0, 0.0), k1o=0.0, k2o=0.0, inv_da=0.0,
-                    dzdlam=1.0, n_la=2.0, wtcp=None):
-    """Assemble the ops.swslice scalar vector (S_* layout)."""
+                    dzdlam=1.0, n_la=2.0, wtcp=None,
+                    clo1=None, cex1=None, clo2=None, cex2=None,
+                    cla=None, cha=None, smp0=0.0, smpsc=None,
+                    glo1=None, gex1=None, glo2=None, gex2=None,
+                    extra_lights=None):
+    """Assemble the ops.swslice scalar vector (S_* layout). The clip-box
+    (clo*/cex*/cla/cha) and axial-sample (smp0/smpsc) entries default to
+    the sample box / global schedule — they differ only on the bricked
+    path (parallel.bricks)."""
     from ovr_tpu.ops import swslice
     z = jnp.zeros((), dt)
     if wtcp is None:
         wtcp = jnp.zeros((3, 3), dt)
+    clo1 = lo1 if clo1 is None else clo1
+    cex1 = ex1 if cex1 is None else cex1
+    clo2 = lo2 if clo2 is None else clo2
+    cex2 = ex2 if cex2 is None else cex2
+    cla = lam0 if cla is None else cla
+    cha = lam0 + exa * dlam if cha is None else cha
+    smpsc = float(n_a) / exa if smpsc is None else smpsc
+    glo1 = lo1 if glo1 is None else glo1
+    gex1 = ex1 if gex1 is None else gex1
+    glo2 = lo2 if glo2 is None else glo2
+    gex2 = ex2 if gex2 is None else gex2
     vals = [lo1, ex1, lo2, ex2, e1, e2, dw1, dw2, half, dz, off, vr[0],
             1.0 / (vr[1] - vr[0]), base, lam0,
             jnp.asarray(float(n_a), dt), jnp.asarray(dlam, dt), exa,
@@ -349,7 +398,16 @@ def _kernel_scalars(dt, *, lo1, ex1, lo2, ex2, e1, e2, dw1, dw2, half, dz,
             ld[0], ld[1], ld[2], k1o, k2o, inv_da, dzdlam, n_la,
             wtcp[0, 0], wtcp[0, 1], wtcp[0, 2],
             wtcp[1, 0], wtcp[1, 1], wtcp[1, 2],
-            wtcp[2, 0], wtcp[2, 1], wtcp[2, 2], z, z, z, z]
+            wtcp[2, 0], wtcp[2, 1], wtcp[2, 2],
+            clo1, cex1, clo2, cex2, cla, cha, smp0, smpsc,
+            glo1, gex1, glo2, gex2]
+    # up to 4 extra directional lights: (d_w1, d_w2, d_axis, intensity)
+    for i in range(4):
+        if extra_lights is not None and i < extra_lights[0].shape[0]:
+            eld, eli = extra_lights
+            vals += [eld[i, 0], eld[i, 1], eld[i, 2], eli[i]]
+        else:
+            vals += [z, z, z, z]
     assert len(vals) == swslice.N_SCALARS
     return jnp.stack([jnp.asarray(x, dt) for x in vals])
 
@@ -382,6 +440,31 @@ def _fused_none_bwd(f, n_s, st, params, cot):
 
 
 _fused_none.defvjp(_fused_none_fwd, _fused_none_bwd)
+
+
+def _extra_lights_fan(scene, w1, w2, axis, dt):
+    """Extra scene lights as fan-axis-ordered dense arrays: directional
+    (incl. sunSky) -> (eld (K, 3) components in (w1, w2, axis) order,
+    eli (K,) folded 2*intensity*mean(color)); point -> (pld (K, 3)
+    positions in fan axes, pli (K,)). Mirrors api._extra_lights /
+    `integrator._march_step`'s extra-light shading exactly."""
+    from ovr_tpu.core.sampling import safe_normalize as _norm
+    dirs, dir_i, pts, pt_i = [], [], [], []
+    for lt in getattr(scene, "lights", ()):
+        mean_c = jnp.mean(lt.color)
+        if lt.kind in ("directional", "sunsky"):
+            d = _norm(lt.direction)
+            dirs.append(jnp.stack([d[w1], d[w2], d[axis]]))
+            dir_i.append(2.0 * lt.intensity * mean_c)
+        elif lt.kind == "point":
+            p = lt.position
+            pts.append(jnp.stack([p[w1], p[w2], p[axis]]))
+            pt_i.append(2.0 * lt.intensity * mean_c)
+    eld = jnp.stack(dirs).astype(dt) if dirs else None
+    eli = jnp.stack(dir_i).astype(dt) if dirs else None
+    pld = jnp.stack(pts).astype(dt) if pts else None
+    pli = jnp.stack(pt_i).astype(dt) if pts else None
+    return eld, eli, pld, pli
 
 
 def _plane_fields(st, P, lam_j, k0_j, fz_j, want_grad=True):
@@ -417,10 +500,11 @@ def _plane_fields(st, P, lam_j, k0_j, fz_j, want_grad=True):
 
 
 def _shade_fields(st, P, lam_j, j_pos, smp, g1, g2, prev_s, k0l_j, fzl_j,
-                  x1, x2):
+                  x1, x2, zabs_j=None):
     """Classification, opacity correction and diffuse/shadow shading for
     one resampled plane: returns (rgb, ncam, a). `prev_s` is the previous
-    plane's sample field (the axial FD term); ignored when j_pos == 0."""
+    plane's sample field (the axial FD term); ignored when j_pos == 0.
+    `zabs_j` is the plane's axial world coordinate (point-light falloff)."""
     sw, ortho, mode = st
     dt = P["pg"].dtype
     seg_lo = jnp.maximum(lam_j - P["half"], P["lin"])
@@ -440,16 +524,35 @@ def _shade_fields(st, P, lam_j, j_pos, smp, g1, g2, prev_s, k0l_j, fzl_j,
         l_a, l_r, l_c = lgrid.shape
         sll = jax.lax.dynamic_slice(lgrid, (k0l_j, 0, 0), (2, l_r, l_c))
         lplane = sll[0] * (1.0 - fzl_j) + sll[1] * fzl_j
-        lvc = jnp.clip((x1 - P["lo1"]) / P["ex1"] * l_c - 0.5, 0.0,
+        # the lattice spans the GLOBAL box (bricks sample a local box)
+        lvc = jnp.clip((x1 - P["glo1"]) / P["gex1"] * l_c - 0.5, 0.0,
                        l_c - 1.0)
-        lvr = jnp.clip((x2 - P["lo2"]) / P["ex2"] * l_r - 0.5, 0.0,
+        lvr = jnp.clip((x2 - P["glo2"]) / P["gex2"] * l_r - 0.5, 0.0,
                        l_r - 1.0)
         sh = _mm(_mm(_interp_matrix(lvr, l_r), lplane, sw.bf16),
                  _interp_matrix(lvc, l_c).T, sw.bf16)
         shadow = jnp.clip(sh, 0.0, 1.0).astype(dt)
     else:
         shadow = 0.0
-    shade = 0.5 + cos_nl * (1.0 - shadow)  # 0.5 * cos * intensity(=2)
+    # total = primary (intensity 2, x0.5 folded) + extra lights, matching
+    # `integrator._march_step`'s shade = 0.5 + 0.5*total*(1-shadow)
+    total = cos_nl
+    if "eld" in P:
+        for i in range(P["eld"].shape[0]):
+            ce = jnp.abs(P["eld"][i, 0] * n1 + P["eld"][i, 1] * n2
+                         + P["eld"][i, 2] * na) * inv
+            total = total + 0.5 * ce * P["eli"][i]
+    if "pld" in P:
+        for i in range(P["pld"].shape[0]):
+            d1p = P["pld"][i, 0] - x1[None, :]
+            d2p = P["pld"][i, 1] - x2[:, None]
+            dap = P["pld"][i, 2] - zabs_j
+            r2 = d1p * d1p + d2p * d2p + dap * dap
+            cos_p = (jnp.abs(d1p * n1 + d2p * n2 + dap * na) * inv
+                     * jax.lax.rsqrt(jnp.maximum(r2, 1e-12)))
+            total = total + 0.5 * (cos_p / jnp.maximum(r2, 1e-6)
+                                   ) * P["pli"][i]
+    shade = 0.5 + total * (1.0 - shadow)
     rgb = jnp.clip(rgb * shade[..., None], 0.0, 1.0)
     nu = jnp.stack([n1 * inv, n2 * inv, na * inv], -1)  # (Hi, Wi, 3)
     ncam = jnp.clip(jnp.einsum("ij,hwj->hwi", P["wtcp"], nu), 0.0, 1.0)
@@ -469,10 +572,10 @@ def _slices_xla_shaded(st, P):
 
     def body(carry, xs):
         color, gradc, depth, trans, prev_s = carry
-        j, lam_j, k0_j, fz_j, k0l_j, fzl_j = xs
+        j, lam_j, k0_j, fz_j, k0l_j, fzl_j, zabs_j = xs
         smp, g1, g2, x1, x2 = _plane_fields(st, P, lam_j, k0_j, fz_j)
         rgb, ncam, a = _shade_fields(st, P, lam_j, j, smp, g1, g2, prev_s,
-                                     k0l_j, fzl_j, x1, x2)
+                                     k0l_j, fzl_j, x1, x2, zabs_j)
         aw = (trans * a)[..., None]
         color = color + aw * rgb
         gradc = gradc + aw * ncam
@@ -484,7 +587,7 @@ def _slices_xla_shaded(st, P):
     z1 = jnp.zeros((hi_i, wi_i), dt)
     xs = (jnp.arange(P["lam"].shape[0], dtype=jnp.int32), P["lam"],
           P["k0f"].astype(jnp.int32), P["fz"],
-          P["k0lf"].astype(jnp.int32), P["fzl"])
+          P["k0lf"].astype(jnp.int32), P["fzl"], P["zabs"])
     (color, gradc, depth, trans, _), _ = jax.lax.scan(
         body, (z3, z3, z1, jnp.ones((hi_i, wi_i), dt), z1), xs)
     return color, gradc, depth, 1.0 - trans
@@ -506,7 +609,7 @@ def _shaded_step(st, P, k):
         st, P, P["lam"][km], P["k0f"][km].astype(jnp.int32), P["fz"][km],
         want_grad=False)
     rgb, ncam, a = _shade_fields(st, P, lam_j, k, smp, g1, g2, prev_s,
-                                 k0l_j, fzl_j, x1, x2)
+                                 k0l_j, fzl_j, x1, x2, P["zabs"][k])
     v = jnp.concatenate([rgb, ncam, (lam_j * P["speed"])[..., None]], -1)
     return v, a
 
@@ -520,14 +623,16 @@ def _shaded_loop(st, P):
     making the reference's shaded render + "grad" channel differentiable
     at full resolution (`shaders_raymarching.cu:125-166`)."""
     sw, ortho, mode, n_s, hi_i, wi_i = st
-    if sw.pallas:
+    n_extra = P["eld"].shape[0] if "eld" in P else 0
+    if sw.pallas and "pld" not in P and n_extra <= 4:
         from ovr_tpu.ops import swslice
         out = swslice.slice_composite_pallas(
             P["grid"], P["tab"], P["sc"], P["pg"], P["qg"],
             P["k0f"].astype(jnp.int32), n_s, mode=mode,
             lgrid=P.get("lgrid"),
             k0l=P["k0lf"].astype(jnp.int32) if "lgrid" in P else None,
-            r_tile=sw.r_tile, win_r=sw.win_r, bf16=sw.bf16)
+            r_tile=sw.r_tile, win_r=sw.win_r, bf16=sw.bf16,
+            n_extra=n_extra)
         return (jnp.moveaxis(out[0:3], 0, -1),
                 jnp.moveaxis(out[3:6], 0, -1), out[6], out[7])
     return _slices_xla_shaded((sw, ortho, mode), P)
@@ -557,7 +662,8 @@ _shaded_loop.defvjp(_shaded_loop_fwd, _shaded_loop_bwd)
 # ---------------------------------------------------------------------------
 
 def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
-                     row0=None, n_rows=None):
+                     row0=None, n_rows=None, sample_box=None, clip_box=None,
+                     slice0=None, n_slices_loc=None, fan_only=False):
     """Render one frame. Returns premultiplied (color (N,3), grad (N,3),
     depth (N,), alpha (N,)) flat screen buffers, matching the march
     integrators' contract (finalize with `integrator.finalize`).
@@ -571,6 +677,21 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
     cfg.height frame — the multi-device tile split (parallel.tiles). The
     intermediate ray fan shrinks to the band's footprint, so per-shard
     compute scales with the band (pair with a reduced sw.inter_h).
+
+    Bricked-volume hooks (parallel.bricks — the multi-device Z-slab
+    decomposition; plane *schedule* always comes from scene.volume's world
+    box, which the bricked caller sets to the GLOBAL box):
+    `sample_box` (lo, hi): world box of scene.volume.grid's texels (the
+    brick's halo'd sampling box); defaults to the volume box.
+    `clip_box` (lo, hi): ray-interval clamp box (the brick's ownership
+    partition); defaults to the volume box.
+    `slice0`/`n_slices_loc`: run only plane indices
+    [slice0, slice0 + n_slices_loc) of the global schedule (slice0 may be
+    traced; n_slices_loc is static).
+    `fan_only`: return (color, grad, depth, alpha, ascending, warp) in the
+    intermediate fan instead of warping — `ascending` (Hi, Wi) is each
+    fan ray's world +z orientation (the brick-composite order) and
+    `warp(c, g, d, a)` performs the deferred screen warp.
     """
     sw: SwStatic = cfg.sw
     assert sw is not None, "cfg.sw unresolved; call cfg.resolved(scene)"
@@ -585,6 +706,11 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
     lo = vol.world_lo
     hi = vol.world_hi
     ext = hi - lo
+    smp_lo, smp_hi = (lo, hi) if sample_box is None else sample_box
+    clp_lo, clp_hi = (lo, hi) if clip_box is None else clip_box
+    if slice0 is None:
+        slice0 = jnp.zeros((), dt)
+    n_loc = sw.n_slices if n_slices_loc is None else n_slices_loc
     e, direction, horizontal, vertical = camera_basis(
         camera, cfg.width, cfg.height)
 
@@ -649,32 +775,61 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
 
     zero = jnp.zeros((hi_i, wi_i), dt)
     big = jnp.full((hi_i, wi_i), 3.4e38, dt)
-    l_in, l_out = intersect_box(ovec, dvec, lo, hi, zero, big)
+    l_in, l_out = intersect_box(ovec, dvec, clp_lo, clp_hi, zero, big)
     l_out = jnp.maximum(l_out, l_in)
 
-    # ---- sample-plane schedule -------------------------------------------
+    # ---- sample-plane schedule (always the GLOBAL box's lattice) ---------
     n_s = sw.n_slices
     dz = ext[axis] / n_s  # world spacing between planes
-    jj = jnp.arange(n_s, dtype=dt)
     off = jnp.asarray(0.5 if jitter is None else jitter, dt)
+    jj = slice0 + jnp.arange(n_loc, dtype=dt)
     z_rel = (jj + off) * dz  # depth into the slab along traversal
     z_abs = jnp.where(sign > 0, lo[axis] + z_rel, hi[axis] - z_rel)
     if ortho:
         lam = (z_abs - e[axis]) / direction[axis]
     else:
         lam = (z_abs - e[axis]) * sign
-    c = jnp.clip(z_rel / ext[axis] * n_a - 0.5, 0.0, n_a - 1.0)
+    # axial texel mapping through the sample box, traversal coordinates
+    smp0 = ((smp_lo[axis] - lo[axis]) if sign > 0
+            else (hi[axis] - smp_hi[axis]))
+    smp_ext = smp_hi[axis] - smp_lo[axis]
+    c = jnp.clip((z_rel - smp0) / smp_ext * n_a - 0.5, 0.0, n_a - 1.0)
     k0 = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, n_a - 2)
     fz = (c - k0.astype(dt)).astype(dt)
+    # clip box's axial interval in ray-parameter units (kernel's la/ha)
+    den_a = direction[axis] if ortho else (1.0 / sign)
+    cl_a = (clp_lo[axis] - e[axis]) / den_a
+    cl_b = (clp_hi[axis] - e[axis]) / den_a
+    cla = jnp.minimum(cl_a, cl_b)
+    cha = jnp.maximum(cl_a, cl_b)
 
-    lo1, lo2 = lo[w1], lo[w2]
-    ex1, ex2 = ext[w1], ext[w2]
+    lo1, lo2 = smp_lo[w1], smp_lo[w2]
+    ex1 = smp_hi[w1] - smp_lo[w1]
+    ex2 = smp_hi[w2] - smp_lo[w2]
 
     rgba_tab = _common_rgba_table(scene.tfn.color, scene.tfn.alpha)
     value_range = scene.tfn.value_range
     base = cfg.base_rate * jnp.ones((), dt)
     diffuse = cfg.shading != "none"
     half = 0.5 * dz * dlam  # half plane interval in ray-parameter units
+
+    def _finish(color, grad, depth, alpha):
+        def warp(c_, g_, d_, a_):
+            return _sw_warp_out(c_, g_, d_, a_, cfg, camera, sw,
+                                p_scr, q_scr, p_lo, q_lo, dp, dq, pg, u, v,
+                                e, direction, horizontal, vertical, axis,
+                                w1, w2, sign, ortho, dt)
+
+        if fan_only:
+            asc = dvec[..., 2] >= 0  # brick traversal order per fan ray
+            return color, grad, depth, alpha, asc, warp
+        return warp(color, grad, depth, alpha)
+
+    _clip_scalars = dict(
+        clo1=clp_lo[w1], cex1=clp_hi[w1] - clp_lo[w1],
+        clo2=clp_lo[w2], cex2=clp_hi[w2] - clp_lo[w2],
+        cla=cla, cha=cha, smp0=smp0, smpsc=n_a / smp_ext,
+        glo1=lo[w1], gex1=ext[w1], glo2=lo[w2], gex2=ext[w2])
 
     if not diffuse:
         # Unshaded path: run the slice loop through the bounded-memory
@@ -726,23 +881,21 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
                 dt, lo1=lo1, ex1=ex1, lo2=lo2, ex2=ex2, e1=e[w1], e2=e[w2],
                 dw1=direction[w1] if ortho else zdt,
                 dw2=direction[w2] if ortho else zdt,
-                half=half, dz=dz, off=off, vr=value_range, base=base,
-                lam0=lam[0] - off * dz * dlam, n_a=n_a, dlam=dlam,
-                exa=ext[axis], ortho=ortho)
-            out8 = _fused_none(f, n_s, sw, params)
+                half=half, dz=dz, off=off + slice0, vr=value_range,
+                base=base, lam0=lam[0] - (off + slice0) * dz * dlam,
+                n_a=n_a, dlam=dlam, exa=ext[axis], ortho=ortho,
+                **_clip_scalars)
+            out8 = _fused_none(f, n_loc, sw, params)
             color = jnp.moveaxis(out8[0:3], 0, -1)
             depth = out8[6]
             alpha = out8[7]
         else:
-            big_v, trans = over_scan(f, n_s, params)
+            big_v, trans = over_scan(f, n_loc, params)
             color = big_v[..., :3]
             depth = big_v[..., 3]
             alpha = 1.0 - trans
         grad = jnp.zeros((hi_i, wi_i, 3), dt)
-        return _sw_warp_out(color, grad, depth, alpha, cfg, camera, sw,
-                            p_scr, q_scr, p_lo, q_lo, dp, dq, pg, u, v,
-                            e, direction, horizontal, vertical, axis,
-                            w1, w2, sign, ortho, dt)
+        return _finish(color, grad, depth, alpha)
     # ---- shaded (diffuse/shadow) path -------------------------------------
     light_dir = safe_normalize(scene.light.direction)
     wtc = jnp.stack([safe_normalize(horizontal), safe_normalize(vertical),
@@ -750,17 +903,25 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
     shadowed = cfg.shading == "shadow" and light_grid is not None
     mode = 2 if shadowed else 1
     zdt = jnp.zeros((), dt)
+    eld, eli, pld, pli = _extra_lights_fan(scene, w1, w2, axis, dt)
     P = dict(
         grid=grid, tab=rgba_tab, vr=value_range, base=base,
         pg=pg, qg=qg, lin=l_in, lout=l_out, speed=speed,
         lam=lam, fz=fz, k0f=k0.astype(dt), half=half,
         ew1=e[w1], ew2=e[w2], dw1=direction[w1], dw2=direction[w2],
         lo1=lo1, lo2=lo2, ex1=ex1, ex2=ex2,
+        glo1=lo[w1], gex1=ext[w1], glo2=lo[w2], gex2=ext[w2],
         k1=k1_map, k2=k2_map, inv_da=jnp.asarray(inv_da, dt),
         dzdlam=jnp.asarray(dz * dlam, dt),
         ld1=light_dir[w1], ld2=light_dir[w2], lda=light_dir[axis],
-        wtcp=wtc[:, (w1, w2, axis)],
+        wtcp=wtc[:, (w1, w2, axis)], zabs=z_abs,
     )
+    if eld is not None:
+        P["eld"] = eld
+        P["eli"] = eli
+    if pld is not None:
+        P["pld"] = pld
+        P["pli"] = pli
     if shadowed:
         lgrid = _volume_view(light_grid, axis, sign)
         l_a = lgrid.shape[0]
@@ -771,29 +932,28 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
         P["fzl"] = cl - k0l.astype(dt)
         n_la = float(l_a)
     else:
-        P["k0lf"] = jnp.zeros((n_s,), dt)
-        P["fzl"] = jnp.zeros((n_s,), dt)
+        P["k0lf"] = jnp.zeros((n_loc,), dt)
+        P["fzl"] = jnp.zeros((n_loc,), dt)
         n_la = 2.0
     if sw.pallas:
         P["sc"] = _kernel_scalars(
             dt, lo1=lo1, ex1=ex1, lo2=lo2, ex2=ex2, e1=e[w1], e2=e[w2],
             dw1=direction[w1] if ortho else zdt,
             dw2=direction[w2] if ortho else zdt,
-            half=half, dz=dz, off=off, vr=value_range, base=base,
-            lam0=lam[0] - off * dz * dlam, n_a=n_a, dlam=dlam,
+            half=half, dz=dz, off=off + slice0, vr=value_range, base=base,
+            lam0=lam[0] - (off + slice0) * dz * dlam, n_a=n_a, dlam=dlam,
             exa=ext[axis], ortho=ortho,
             ld=(light_dir[w1], light_dir[w2], light_dir[axis]),
             k1o=direction[w1] if ortho else zdt,
             k2o=direction[w2] if ortho else zdt,
             inv_da=jnp.asarray(inv_da, dt),
             dzdlam=jnp.asarray(dz * dlam, dt), n_la=n_la,
-            wtcp=wtc[:, (w1, w2, axis)])
+            wtcp=wtc[:, (w1, w2, axis)],
+            extra_lights=((eld, eli) if eld is not None else None),
+            **_clip_scalars)
     color, grad, depth, alpha = _shaded_loop(
-        (sw, ortho, mode, n_s, hi_i, wi_i), P)
-    return _sw_warp_out(color, grad, depth, alpha, cfg, camera, sw,
-                        p_scr, q_scr, p_lo, q_lo, dp, dq, pg, u, v,
-                        e, direction, horizontal, vertical, axis,
-                        w1, w2, sign, ortho, dt)
+        (sw, ortho, mode, n_loc, hi_i, wi_i), P)
+    return _finish(color, grad, depth, alpha)
 
 
 def _sw_warp_out(color, grad, depth, alpha, cfg, camera, sw: SwStatic,

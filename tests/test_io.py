@@ -97,6 +97,32 @@ def test_tfn_gaussian_and_opacity_controls():
     np.testing.assert_allclose(alpha[0], 0.2, atol=0.02)
 
 
+def test_vidi3d_checked_in_fixture_renders():
+    """Smoke the reader + renderer on a checked-in real config + tiny
+    binary volume (schema mirrors `data/configs/scene_vorts1.json`:
+    multi-candidate fileName, BIG_ENDIAN float raw, base64 alphaArray,
+    colorControls, scalarMappingRange, sampleDistance)."""
+    import dataclasses
+
+    from ovr_tpu import api
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "scene_tiny.json")
+    scene = vidi3d.create_scene(path)
+    assert scene.volume.grid.shape == (16, 16, 16)
+    g = np.asarray(scene.volume.grid)
+    assert np.isfinite(g).all() and g.max() > 5.0  # endian decoded
+    assert float(scene.camera.fovy) == 45.0
+    cfg = api.RenderConfig(width=24, height=24, spp=1,
+                           sampling_rate=float(
+                               scene.volume_sampling_rate),
+                           shading="diffuse").resolved(scene)
+    frame = api.render(scene, cfg)
+    rgba = np.asarray(frame.rgba)
+    assert np.isfinite(rgba).all()
+    assert rgba[..., 3].max() > 0.3  # something rendered
+
+
 def test_vidi3d_scene_end_to_end(tmp_path, rng):
     vol = rng.uniform(size=(8, 8, 8)).astype(np.uint16)
     vol_path = tmp_path / "v.raw"

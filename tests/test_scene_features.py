@@ -57,16 +57,62 @@ class TestLights:
         np.testing.assert_allclose(np.asarray(base.rgba),
                                    np.asarray(amb.rgba), atol=1e-6)
 
-    def test_shearwarp_falls_back_with_extra_lights(self, small_grid):
+    def test_shearwarp_eligible_with_extra_lights(self, small_grid):
+        """Extra lights no longer force the march: directional lights are
+        extra cos-terms in the dense shade; point lights shade densely
+        from plane coordinates (round-2 VERDICT Missing #2)."""
         scene = dataclasses.replace(
             simple_scene(small_grid), camera=_cam(),
-            lights=(Light.create(direction=(0, 0, -1)),))
+            lights=(Light.create(direction=(0, 0, -1)),
+                    Light.create(position=(0.5, 0.5, -0.3), kind="point")))
         cfg = api.RenderConfig(method="auto", shading="diffuse"
                                ).resolved(scene)
-        assert cfg.sw is None
-        cfg = api.RenderConfig(method="auto", shading="none"
-                               ).resolved(scene)
-        assert cfg.sw is not None  # unshaded: lights don't matter
+        assert cfg.sw is not None
+
+    def test_shearwarp_extra_lights_parity(self, small_grid):
+        """Shear-warp with 2 extra directional + 1 point light matches the
+        march's extra-light shading (integrator._march_step)."""
+        scene = dataclasses.replace(
+            simple_scene(small_grid), camera=_cam(),
+            lights=(Light.create(direction=(0.3, -0.2, -1.0),
+                                 intensity=0.7),
+                    Light.create(direction=(-1.0, 0.4, 0.1),
+                                 intensity=0.5),
+                    Light.create(position=(0.5, 1.8, 0.5), kind="point",
+                                 intensity=1.2)))
+        cfg_m = api.RenderConfig(width=48, height=40, sampling_rate=48.0,
+                                 shading="diffuse").resolved(scene)
+        cfg_s = dataclasses.replace(
+            cfg_m, method="shearwarp").resolved(scene)
+        fm = api.render(scene, cfg_m)
+        fs = api.render(scene, cfg_s)
+        pm = np.asarray(fm.rgba[..., :3] * fm.rgba[..., 3:4])
+        ps = np.asarray(fs.rgba[..., :3] * fs.rgba[..., 3:4])
+        am = np.asarray(fm.rgba[..., 3])
+        ys, xs = np.nonzero(am > 0.01)
+        interior = np.zeros_like(am, bool)
+        interior[ys.min() + 2:ys.max() - 1, xs.min() + 2:xs.max() - 1] = True
+        err = np.abs(pm - ps).max(-1)[interior]
+        assert np.quantile(err, 0.95) < 0.08
+
+    def test_shearwarp_extra_dir_lights_pallas_parity(self, small_grid):
+        """The fused kernel's extra-light scalar slots (<= 4 directional)
+        match the XLA shaded slice loop (interpret mode)."""
+        scene = dataclasses.replace(
+            simple_scene(small_grid), camera=_cam(),
+            lights=(Light.create(direction=(0.3, -0.2, -1.0),
+                                 intensity=0.7),
+                    Light.create(direction=(-1.0, 0.4, 0.1),
+                                 intensity=0.5)))
+        cfg = api.RenderConfig(width=32, height=24, sampling_rate=16.0,
+                               shading="diffuse",
+                               method="shearwarp").resolved(scene)
+        ref = api.render(scene, cfg)
+        cfg_p = dataclasses.replace(
+            cfg, sw=dataclasses.replace(cfg.sw, pallas=True))
+        out = api.render(scene, cfg_p)
+        np.testing.assert_allclose(np.asarray(out.rgba),
+                                   np.asarray(ref.rgba), atol=5e-5)
 
 
 class TestMultiVolume:

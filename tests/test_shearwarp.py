@@ -308,6 +308,48 @@ class TestParity:
         d = np.abs(np.asarray(fine) - np.asarray(swept))
         assert d.mean() < 0.03 and d.max() < 0.15
 
+    def test_magnification_zoom_quality(self, small_grid):
+        """Zoomed view (strong magnification): the fan auto-zooms to the
+        visible ray footprint, so the fast path stays sharp vs the
+        per-pixel march — magnification does not blur at any cap."""
+        cam = Camera.create(from_=(0.5, 0.5, -0.45), at=(0.5, 0.5, 0.5),
+                            fovy=25.0)
+        fm, fs = _render_pair(_scene(small_grid, cam), w=96, h=96,
+                              rate=64.0)
+        pm, am = _premult(fm)
+        ps, as_ = _premult(fs)
+        interior = _interior_mask(am, pad=1)
+        assert interior.sum() > 500
+        err = np.abs(pm - ps).max(-1)[interior]
+        assert np.quantile(err, 0.95) < 0.04
+        assert np.abs(am - as_)[interior].mean() < 0.02
+
+    def test_inter_cap_undersampling_pinned(self, small_grid):
+        """Pin the fan cap's quality effect: an under-resolved fan (cap
+        far below 2x voxel dims) deviates measurably from the march while
+        the default policy (>= 2x dims) stays tight — the quantified
+        guidance behind sw_inter_cap at the 1024^3 scale."""
+        cam = Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5),
+                            fovy=45.0)
+        scene = _scene(small_grid, cam)
+        fm = api.render(scene, api.RenderConfig(
+            width=96, height=96, sampling_rate=48.0,
+            shading="none").resolved(scene))
+        pm, am = _premult(fm)
+        interior = _interior_mask(am)
+
+        def sw_err(cap):
+            cfg = api.RenderConfig(width=96, height=96, sampling_rate=48.0,
+                                   shading="none", method="shearwarp",
+                                   sw_inter_cap=cap).resolved(scene)
+            ps, _ = _premult(api.render(scene, cfg))
+            return np.quantile(np.abs(pm - ps).max(-1)[interior], 0.95)
+
+        e_default = sw_err(2048)
+        e_small = sw_err(24)  # 1 fan cell per voxel: under volume Nyquist
+        assert e_default < 0.05, e_default
+        assert e_small > 1.5 * e_default, (e_small, e_default)
+
     def test_empty_rays_are_transparent(self, small_grid):
         cam = Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5),
                             fovy=120.0)  # wide: corners miss the box
