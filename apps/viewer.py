@@ -48,6 +48,7 @@ class RenderSession:
         self._frame_id = 0
         self._fps = FPSCounter()
         self._stop = threading.Event()
+        self._wake = threading.Event()  # parameter changed: re-render
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self.tf_state = None  # last TF edit, echoed to new clients
 
@@ -55,6 +56,7 @@ class RenderSession:
     def queue(self, name: str, *args) -> None:
         with self._lock:
             self._pending.append((name, args))
+        self._wake.set()
 
     def _drain(self) -> None:
         with self._lock:
@@ -64,7 +66,18 @@ class RenderSession:
 
     # -- render thread --
     def _loop(self) -> None:
+        rendered_once = False
         while not self._stop.is_set():
+            # idle detection: with nothing queued, no accumulation in
+            # progress, and a frame already published, park on the wake
+            # event instead of re-rendering an identical frame (the
+            # reference's AsyncLoop parks on a condvar the same way,
+            # vidi_async_loop.h:47-55)
+            if (rendered_once and not self.renderer._accumulating
+                    and not self._pending):
+                if not self._wake.wait(timeout=0.5):
+                    continue
+            self._wake.clear()
             self._drain()
             try:
                 self.renderer.render()
@@ -72,6 +85,7 @@ class RenderSession:
                 print(f"[viewer] render error: {e}")
                 time.sleep(0.25)
                 continue
+            rendered_once = True
             rgba = self.renderer.mapframe()["rgba"]
             self._publish(rgba)
             self._fps.frame()
@@ -131,7 +145,16 @@ def apply_settings(sess: RenderSession, msg: dict) -> None:
         pos = np.asarray([p[0] for p in pts], np.float32)
         val = np.asarray([p[1] for p in pts], np.float32)
         alpha = np.interp(xs, pos, val).astype(np.float32)
-        color = create_colormap(t.get("colormap", "rainbow"), 256)
+        if t.get("colors"):
+            # user-edited color control points [[pos, r, g, b], ...]
+            # (the reference TF widget's color CPs, extern/tfn/widget.h)
+            cps = sorted(t["colors"], key=lambda c: c[0])
+            cpos = np.asarray([c[0] for c in cps], np.float32)
+            color = np.stack(
+                [np.interp(xs, cpos, [c[1 + i] for c in cps])
+                 for i in range(3)], -1).astype(np.float32)
+        else:
+            color = create_colormap(t.get("colormap", "rainbow"), 256)
         vr = sess.renderer.scene.tfn.value_range
         sess.queue("set_transfer_function", color, alpha,
                    (float(vr[0]), float(vr[1])))
@@ -178,6 +201,16 @@ def make_handler(sess: RenderSession):
                 self._send(200, json.dumps(sess.stats()).encode())
             elif self.path.startswith("/colormaps"):
                 self._send(200, json.dumps(available_colormaps()).encode())
+            elif self.path.startswith("/colormap?"):
+                from urllib.parse import parse_qs, urlparse
+                q = parse_qs(urlparse(self.path).query)
+                name = q.get("name", ["rainbow"])[0]
+                try:
+                    tab = create_colormap(name, 32)
+                except Exception:
+                    tab = create_colormap("rainbow", 32)
+                self._send(200, json.dumps(
+                    np.asarray(tab).round(4).tolist()).encode())
             elif self.path.startswith("/screenshot"):
                 path = sess.screenshot()
                 self._send(200, json.dumps({"saved": path}).encode())
@@ -208,14 +241,15 @@ body{background:#181818;color:#ddd;font:13px sans-serif;margin:0;display:flex}
 label{display:block;margin:6px 0 2px}
 input[type=range]{width:100%}
 select,button{width:100%;margin:2px 0;background:#333;color:#ddd;border:1px solid #555;padding:4px}
-#tfcanvas{width:100%;height:120px;background:#111;border:1px solid #444;touch-action:none}
+#tfcanvas{width:100%;height:142px;background:#111;border:1px solid #444;touch-action:none}
 #overlay{position:fixed;left:8px;top:8px;background:#0008;padding:4px 8px;border-radius:4px}
 </style></head><body>
 <div id="view"><img id="frame"></div>
 <div id="overlay">fps: <span id="fps">-</span> | var: <span id="var">-</span></div>
 <div id="panel">
   <h3>Transfer function</h3>
-  <canvas id="tfcanvas" width="280" height="120"></canvas>
+  <canvas id="tfcanvas" width="280" height="142"></canvas>
+  <input type="color" id="cpcolor" title="selected color control point">
   <select id="colormap"></select>
   <h3>Render</h3>
   <label>spp <span id="sppv">1</span></label>
@@ -285,47 +319,109 @@ img.addEventListener('pointermove',e=>{
 img.addEventListener('pointerup',()=>drag=null);
 img.addEventListener('wheel',e=>{e.preventDefault();if(cam.r===null)return;
   cam.r*=Math.exp(e.deltaY*0.001);pushCam();},{passive:false});
-// ---- TF editor ----
+// ---- TF editor (alpha curve + color control points, tfn/widget.h) ----
 const tfc=document.getElementById('tfcanvas'),ctx=tfc.getContext('2d');
+const picker=document.getElementById('cpcolor');
+const STRIP=18, GAP=4;             // color strip at the canvas bottom
+const AH=()=>tfc.height-STRIP-GAP; // alpha area height
 let alphas=[[0,0],[0.25,0.1],[0.75,0.6],[1,0.9]];
 let cmap='rainbow';
+let colors=null;     // [[pos,r,g,b],...] custom CPs; null = named map
+let stripRGB=null;   // named map samples [[r,g,b]...] for drawing/seeding
+function lerpColors(x){
+  const cs=colors;let i=1;while(i<cs.length-1&&cs[i][0]<x)i++;
+  const a=cs[i-1],b=cs[i],f=(x-a[0])/Math.max(b[0]-a[0],1e-6);
+  const t=Math.max(0,Math.min(1,f));
+  return [a[1]+(b[1]-a[1])*t,a[2]+(b[2]-a[2])*t,a[3]+(b[3]-a[3])*t];
+}
+function stripColor(x){
+  if(colors)return lerpColors(x);
+  if(stripRGB){const i=Math.min(stripRGB.length-1,Math.max(0,
+    Math.round(x*(stripRGB.length-1))));return stripRGB[i];}
+  return [x,0.3,1-x];
+}
 function drawTF(){
   ctx.clearRect(0,0,tfc.width,tfc.height);
-  const grd=ctx.createLinearGradient(0,0,tfc.width,0);
-  grd.addColorStop(0,'#004');grd.addColorStop(1,'#400');
+  const ah=AH();
   ctx.strokeStyle='#9cf';ctx.beginPath();
-  alphas.forEach((p,i)=>{const x=p[0]*tfc.width,y=(1-p[1])*tfc.height;
+  alphas.forEach((p,i)=>{const x=p[0]*tfc.width,y=(1-p[1])*ah;
     i?ctx.lineTo(x,y):ctx.moveTo(x,y);});
   ctx.stroke();
   ctx.fillStyle='#fc6';
   alphas.forEach(p=>{ctx.beginPath();
-    ctx.arc(p[0]*tfc.width,(1-p[1])*tfc.height,4,0,7);ctx.fill();});
+    ctx.arc(p[0]*tfc.width,(1-p[1])*ah,4,0,7);ctx.fill();});
+  // color strip
+  for(let px=0;px<tfc.width;px++){
+    const c=stripColor(px/(tfc.width-1));
+    ctx.fillStyle=`rgb(${c[0]*255|0},${c[1]*255|0},${c[2]*255|0})`;
+    ctx.fillRect(px,ah+GAP,1,STRIP);
+  }
+  if(colors)colors.forEach(c=>{ // CP markers: triangles on the strip
+    const x=c[0]*tfc.width,y=ah+GAP;
+    ctx.fillStyle='#fff';ctx.beginPath();
+    ctx.moveTo(x,y);ctx.lineTo(x-5,y+9);ctx.lineTo(x+5,y+9);ctx.fill();
+    ctx.strokeStyle='#000';ctx.stroke();
+  });
 }
-let tfDrag=-1;
+function seedColors(){ // start editing: sample the named map into 5 CPs
+  colors=[];for(let i=0;i<5;i++){const x=i/4;
+    const c=stripColor(x);colors.push([x,c[0],c[1],c[2]]);}
+}
+let tfDrag=-1,cpDrag=-1,cpSel=-1;
 function tfPos(e){const r=tfc.getBoundingClientRect();
-  return [(e.clientX-r.left)/r.width,1-(e.clientY-r.top)/r.height];}
+  return [(e.clientX-r.left)/r.width,(e.clientY-r.top)/r.height*tfc.height];}
 tfc.addEventListener('pointerdown',e=>{
-  const [x,y]=tfPos(e);
-  tfDrag=alphas.findIndex(p=>Math.abs(p[0]-x)<0.05&&Math.abs(p[1]-y)<0.12);
-  if(e.detail===2&&tfDrag<0){alphas.push([x,Math.max(0,Math.min(1,y))]);
-    alphas.sort((a,b)=>a[0]-b[0]);sendTF();}
+  const [x,py]=tfPos(e);const ah=AH();
+  if(py>ah){ // strip: color CP interactions
+    const hit=colors?colors.findIndex(c=>Math.abs(c[0]-x)<0.04):-1;
+    if(e.altKey&&hit>0&&hit<colors.length-1){colors.splice(hit,1);sendTF();}
+    else if(hit>=0){cpDrag=cpSel=hit;
+      const c=colors[hit];picker.value='#'+[c[1],c[2],c[3]].map(
+        v=>(v*255|0).toString(16).padStart(2,'0')).join('');}
+    else if(e.detail===2){if(!colors)seedColors();
+      const c=stripColor(x);colors.push([x,c[0],c[1],c[2]]);
+      colors.sort((a,b)=>a[0]-b[0]);sendTF();}
+  }else{
+    const y=1-py/ah;
+    tfDrag=alphas.findIndex(p=>Math.abs(p[0]-x)<0.05&&Math.abs(p[1]-y)<0.12);
+    if(e.detail===2&&tfDrag<0){alphas.push([x,Math.max(0,Math.min(1,y))]);
+      alphas.sort((a,b)=>a[0]-b[0]);sendTF();}
+  }
   tfc.setPointerCapture(e.pointerId);
 });
 tfc.addEventListener('pointermove',e=>{
-  if(tfDrag<0)return;const [x,y]=tfPos(e);
+  const [x,py]=tfPos(e);const ah=AH();
+  if(cpDrag>0&&cpDrag<colors.length-1){
+    const lo=colors[cpDrag-1][0],hi=colors[cpDrag+1][0];
+    colors[cpDrag][0]=Math.max(lo,Math.min(hi,x));drawTF();return;}
+  if(tfDrag<0)return;const y=1-py/ah;
   const lo=tfDrag>0?alphas[tfDrag-1][0]:0,hi=tfDrag<alphas.length-1?alphas[tfDrag+1][0]:1;
   if(tfDrag>0&&tfDrag<alphas.length-1)alphas[tfDrag][0]=Math.max(lo,Math.min(hi,x));
   alphas[tfDrag][1]=Math.max(0,Math.min(1,y));
   drawTF();
 });
-tfc.addEventListener('pointerup',()=>{if(tfDrag>=0){tfDrag=-1;sendTF();}});
-function sendTF(){drawTF();post({tfn:{alphas:alphas,colormap:cmap}});}
+tfc.addEventListener('pointerup',()=>{
+  if(tfDrag>=0){tfDrag=-1;sendTF();}
+  if(cpDrag>=0){cpDrag=-1;sendTF();}
+});
+picker.addEventListener('input',()=>{
+  if(cpSel<0||!colors)return;
+  const v=picker.value;
+  colors[cpSel][1]=parseInt(v.substr(1,2),16)/255;
+  colors[cpSel][2]=parseInt(v.substr(3,2),16)/255;
+  colors[cpSel][3]=parseInt(v.substr(5,2),16)/255;
+  sendTF();
+});
+function sendTF(){drawTF();post({tfn:{alphas:alphas,colormap:cmap,colors:colors}});}
+function loadStrip(){fetch('/colormap?name='+encodeURIComponent(cmap))
+  .then(r=>r.json()).then(t=>{stripRGB=t;drawTF();});}
 // ---- controls ----
 fetch('/colormaps').then(r=>r.json()).then(names=>{
   const sel=document.getElementById('colormap');
   names.forEach(n=>{const o=document.createElement('option');o.textContent=n;sel.append(o);});
   sel.value='rainbow';
-  sel.onchange=()=>{cmap=sel.value;sendTF();};
+  sel.onchange=()=>{cmap=sel.value;colors=null;cpSel=-1;loadStrip();sendTF();};
+  loadStrip();
 });
 document.getElementById('spp').oninput=e=>{
   document.getElementById('sppv').textContent=e.target.value;

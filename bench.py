@@ -75,11 +75,15 @@ def main() -> None:
     scene = jax.device_put(scene)
     ray_chunk = os.environ.get("BENCH_RAY_CHUNK")
     adaptive = float(os.environ.get("BENCH_ADAPTIVE", 1.0))
+    # BENCH_PT: "mc" = delta-tracking tracker (macrocell DDA),
+    # "dense" = discrete-ordinates lattice solve + shear-warp gather
+    pt = os.environ.get("BENCH_PT", "")
     cfg = api.RenderConfig(
         width=width, height=height, spp=1, sampling_rate=rate,
         shading=shading, fast_math=True, use_macrocells=True, method=method,
         ray_chunk=int(ray_chunk) if ray_chunk else None,
         adaptive_scale=adaptive,
+        path_tracing=bool(pt), pt_dense=(pt == "dense"),
     ).resolved(scene)
 
     from ovr_tpu.render import accel
@@ -87,8 +91,40 @@ def main() -> None:
                                 scene.tfn.value_range)
     mc = jax.device_put(mc)
 
+    mesh_spec = os.environ.get("BENCH_MESH", "")  # "TxB", e.g. "4x2"
     backward = os.environ.get("BENCH_BACKWARD", "") == "1"
-    if backward:
+    if mesh_spec:
+        # multi-device rendering: image-row bands over `tiles`, Z-slab
+        # bricks over `bricks` (ring compositing); runs on however many
+        # devices the platform exposes (8 virtual CPU devices in CI)
+        t_n, b_n = (int(v) for v in mesh_spec.lower().split("x"))
+        from ovr_tpu.parallel import bricks as pbricks
+        from ovr_tpu.parallel import mesh as pmesh
+        from ovr_tpu.parallel import tiles as ptiles
+
+        m = pmesh.make_mesh(n_tiles=t_n, n_bricks=b_n)
+        cfg = dataclasses.replace(
+            cfg, sw_slice_align=b_n, max_steps=None,
+            shadow_max_steps=None, jitter_rays=False).resolved(scene)
+        lgm = (jax.device_put(api.build_light_grid(scene, cfg))
+               if api._wants_light_grid(cfg) else None)
+        if b_n > 1:
+            bv = pbricks.brick_volume(scene.volume, b_n)
+            render_fn = jax.jit(lambda s, c: pbricks.render_bricked(
+                s, bv, cfg, m, camera=c, light_grid=lgm))
+        else:
+            render_fn = jax.jit(lambda s, c: ptiles.render_sharded(
+                s, cfg, m, camera=c, light_grid=lgm))
+
+        class Out:
+            def __init__(self, x):
+                self.rgba = x
+
+        def frame(i, chain):
+            cam = dataclasses.replace(scene.camera,
+                                      from_=scene.camera.from_ + chain)
+            return Out(render_fn(scene, cam))
+    elif backward:
         # backward rays/s (BASELINE config #4): gradient of a render loss
         # w.r.t. the volume grid + TF opacity through the bounded-memory
         # over-compositing adjoint. BENCH_SHADING selects the mode — the
@@ -120,22 +156,57 @@ def main() -> None:
         class Out:
             def __init__(self, x):
                 self.rgba = x
+    elif int(os.environ.get("BENCH_TIMEVAR", 0)):
+        # time-varying streaming (BASELINE config #3): K host-resident
+        # timesteps cycled through device_put; the upload of step t+1 is
+        # issued before step t's render so the transfer rides DMA under
+        # the compute. Chained through the camera (live operand).
+        k_steps = int(os.environ["BENCH_TIMEVAR"])
+        ax = np.linspace(0, 1, grid_n, dtype=np.float32)
+        x, y, zz = ax[None, None, :], ax[None, :, None], ax[:, None, None]
+        host_steps = []
+        for k in range(k_steps):
+            ph = 2 * np.pi * k / k_steps
+            gk = (0.5 + 0.35 * np.sin(12 * x + ph) * np.cos(10 * y)
+                  * np.sin(8 * zz - ph)).astype(np.float32)
+            host_steps.append(gk)
+        pending = {0: jax.device_put(host_steps[0])}
+
+        def frame(i, chain):
+            # the warmup and timed loops both start at i = 0: fall back
+            # to an on-demand upload when the prefetch slot is missing
+            cur = pending.pop(i % k_steps, None)
+            if cur is None:
+                cur = jax.device_put(host_steps[i % k_steps])
+            pending[(i + 1) % k_steps] = jax.device_put(
+                host_steps[(i + 1) % k_steps])
+            sc = dataclasses.replace(
+                scene, volume=dataclasses.replace(scene.volume, grid=cur))
+            cam = dataclasses.replace(scene.camera,
+                                      from_=scene.camera.from_ + chain)
+            return api.render(sc, cfg, camera=cam, frame_index=i,
+                              macrocells=mc)
     else:
-        # shadow lattice: camera-independent, built once per commit
-        # (Renderer.commit does the same); the frame loop reuses it
+        # shadow lattice / PT scatter fields: camera-independent, built
+        # once per commit (Renderer.commit does the same); frames reuse
         lg = (jax.device_put(api.build_light_grid(scene, cfg))
               if api._wants_light_grid(cfg) else None)
+        ptf = None
+        if cfg.path_tracing and cfg.pt_dense and cfg.sw is not None:
+            from ovr_tpu.render import ptdense
+            ptf = jax.block_until_ready(ptdense.prepare(scene, cfg))
 
         def frame(i, chain):
             # Chain each frame on the previous frame's output through a
             # live scene input: the runtime dedups repeated executions
             # with identical used operands, which would otherwise turn a
             # fixed camera/TF benchmark into a dispatch-latency benchmark.
-            if lg is not None:  # keep the cached shadow lattice valid
+            if lg is not None or ptf is not None:  # keep caches valid
                 cam = dataclasses.replace(
                     scene.camera, from_=scene.camera.from_ + chain)
                 return api.render(scene, cfg, camera=cam, frame_index=i,
-                                  macrocells=mc, light_grid=lg)
+                                  macrocells=mc, light_grid=lg,
+                                  pt_fields=ptf)
             tfn = dataclasses.replace(scene.tfn,
                                       alpha=scene.tfn.alpha + chain)
             sc = dataclasses.replace(scene, tfn=tfn)
@@ -164,7 +235,11 @@ def main() -> None:
                f"-{method}" + ("-bwd" if backward else "")
                + (f"-l{n_lights}" if n_lights else "")
                + (f"-rc{ray_chunk}" if ray_chunk else "")
-               + (f"-as{adaptive:g}" if adaptive != 1.0 else ""))
+               + (f"-as{adaptive:g}" if adaptive != 1.0 else "")
+               + (f"-pt{pt}" if pt else "")
+               + (f"-tv{os.environ['BENCH_TIMEVAR']}"
+                  if os.environ.get("BENCH_TIMEVAR") else "")
+               + (f"-mesh{mesh_spec}" if mesh_spec else ""))
     baseline_path = os.path.join(os.path.dirname(__file__),
                                  "BASELINE_SELF.json")
     book = {}
@@ -178,8 +253,13 @@ def main() -> None:
         with open(baseline_path, "w") as f:
             json.dump(book, f, indent=2, sort_keys=True)
 
-    desc = ("shear-warp compositing" if cfg.sw is not None
-            else "march, macrocell skipping")
+    if pt == "dense":
+        desc = "dense discrete-ordinates path tracer + shear-warp gather"
+    elif pt:
+        desc = "delta-tracking path tracer, macrocell DDA"
+    else:
+        desc = ("shear-warp compositing" if cfg.sw is not None
+                else "march, macrocell skipping")
     kind = "backward" if backward else "forward"
     if backward:
         desc += ", grid+TF grads via bounded-memory adjoint"

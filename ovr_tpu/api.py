@@ -58,6 +58,10 @@ class RenderConfig:
     # partitions the slice range evenly over n_bricks devices)
     sw_slice_align: int = 1
     sw_bf16: bool = False  # bfloat16 shear-warp matmuls (f32 accumulate)
+    # window the fused kernel's column contraction (measured slower at
+    # r_tile 32 on v5e — the transposed matmuls under-fill the MXU; keep
+    # opt-in until the scheme wins on hardware)
+    sw_col_win: bool = False
     # fuse the unshaded slice loop into the Pallas TPU kernel (ops.swslice;
     # VMEM-resident carry); gradients route through the over_scan adjoint
     sw_pallas: bool = True
@@ -68,6 +72,11 @@ class RenderConfig:
     shadow_max_steps: Optional[int] = None
     path_tracing: bool = False
     max_scatters: int = 24  # params.h:86
+    # dense path tracing (render.ptdense): discrete-ordinates lattice
+    # solve + shear-warp camera gather instead of per-ray delta tracking
+    pt_dense: bool = False
+    pt_lattice: int = 128  # scatter-lattice resolution cap per axis
+    pt_dirs: int = 14  # quadrature directions (6 axial [+ 8 diagonal])
     use_macrocells: bool = False  # empty-space skip / majorant DDA
     # adaptive (majorant-scaled) step size within macrocells, vnr
     # method_optix.cu:70-108; > 1 enables, value = max step multiplier.
@@ -101,12 +110,16 @@ class RenderConfig:
             updates["shadow_max_steps"] = n
         if self.method in ("shearwarp", "auto"):
             from ovr_tpu.render import shearwarp
-            eligible = (not self.path_tracing
-                        and self.shading in (ig.SHADING_NONE,
-                                             ig.SHADING_DIFFUSE,
-                                             ig.SHADING_SHADOW))
+            pt_dense = self.path_tracing and self.pt_dense
+            eligible = (pt_dense
+                        or (not self.path_tracing
+                            and self.shading in (ig.SHADING_NONE,
+                                                 ig.SHADING_DIFFUSE,
+                                                 ig.SHADING_SHADOW)))
+            view = (dataclasses.replace(self, shading=ig.SHADING_NONE)
+                    if pt_dense else self)  # pt gather is unshaded
             sw = shearwarp.resolve_static(
-                scene, camera or scene.camera, self) if eligible else None
+                scene, camera or scene.camera, view) if eligible else None
             if sw is None and self.method == "shearwarp":
                 raise ValueError(
                     "shearwarp ineligible for this scene/camera/config "
@@ -225,7 +238,8 @@ def render(scene: Scene, cfg: RenderConfig, camera: Optional[Camera] = None,
            frame_index: jnp.ndarray = 0, key: Optional[jax.Array] = None,
            macrocells: Optional[accel.MacrocellGrid] = None,
            last_camera: Optional[Camera] = None,
-           light_grid: Optional[jnp.ndarray] = None) -> Frame:
+           light_grid: Optional[jnp.ndarray] = None,
+           pt_fields=None) -> Frame:
     """Render one frame. Pure, jitted, differentiable (when cfg.fast_math is
     False and cfg.path_tracing is False uses the scan integrator).
 
@@ -242,6 +256,10 @@ def render(scene: Scene, cfg: RenderConfig, camera: Optional[Camera] = None,
     key = jax.random.fold_in(key, frame_index)
 
     if cfg.path_tracing:
+        if cfg.pt_dense and cfg.sw is not None:
+            from ovr_tpu.render import ptdense
+            return ptdense.render_frame_dense(scene, cfg, camera,
+                                              pt_fields=pt_fields)
         from ovr_tpu.render import pathtracer
         return pathtracer.render_frame(scene, cfg, camera, key, macrocells)
 
@@ -483,6 +501,7 @@ class Renderer:
         self._frame: Optional[Frame] = None
         self._macrocells: Optional[accel.MacrocellGrid] = None
         self._light_grid: Optional[jnp.ndarray] = None
+        self._pt_fields = None  # ptdense (sigma, J) cache
         self._sparse = False
         self._focus = None
         self._accumulating = False
@@ -520,6 +539,7 @@ class Renderer:
         self.scene = dataclasses.replace(self.scene, tfn=tfn)
         self._macrocells = None
         self._light_grid = None
+        self._pt_fields = None
         self._reset(rejit=False)
 
     def set_sample_per_pixel(self, spp: int) -> None:
@@ -548,11 +568,13 @@ class Renderer:
         self.scene = dataclasses.replace(self.scene, volume=vol)
         self._macrocells = None
         self._light_grid = None
+        self._pt_fields = None
         self._reset(rejit=False)
 
     def set_volume_density_scale(self, s: float) -> None:
         self.scene = dataclasses.replace(
             self.scene, density_scale=jnp.float32(s))
+        self._pt_fields = None  # sigma scales with density
         self._reset(rejit=False)
 
     def set_path_tracing(self, enabled: bool) -> None:
@@ -602,6 +624,10 @@ class Renderer:
                 grid, self.scene.tfn.alpha, self.scene.tfn.value_range)
         if _wants_light_grid(self._cfg) and self._light_grid is None:
             self._light_grid = build_light_grid(self.scene, self._cfg)
+        if (self._cfg.path_tracing and self._cfg.pt_dense
+                and self._cfg.sw is not None and self._pt_fields is None):
+            from ovr_tpu.render import ptdense
+            self._pt_fields = ptdense.prepare(self.scene, self._cfg)
 
     def render(self) -> None:
         import time
@@ -619,7 +645,8 @@ class Renderer:
             frame = render(
                 self.scene, self._cfg, camera=self._camera,
                 frame_index=jnp.int32(self._frame_index),
-                macrocells=self._macrocells, light_grid=self._light_grid)
+                macrocells=self._macrocells, light_grid=self._light_grid,
+                pt_fields=self._pt_fields)
         if self._accumulating:
             frame, self._accum = accumulate(frame, self._accum,
                                             self._frame_index)

@@ -61,8 +61,39 @@ _REFERENCE_KEYS = {
 }
 
 
+_frozen_cache = None
+
+
+def _frozen_tables():
+    """The 50 reference keys' tables, frozen into the package
+    (colormap_tables.npz, 64 samples each) so no matplotlib is needed at
+    runtime; regenerate with matplotlib if the palette set changes."""
+    global _frozen_cache
+    if _frozen_cache is None:
+        import os
+        path = os.path.join(os.path.dirname(__file__),
+                            "colormap_tables.npz")
+        try:
+            _frozen_cache = dict(np.load(path))
+        except Exception:
+            _frozen_cache = {}
+    return _frozen_cache
+
+
 def create_colormap(name: str, resolution: int = 256) -> np.ndarray:
     """Return a (resolution, 3) float32 RGB table for the named colormap."""
+    frozen = _frozen_tables()
+    tab = frozen.get(name)
+    if tab is None and "/" not in name:  # bare matplotlib-style name
+        for ns in _REFERENCE_KEYS:
+            tab = frozen.get(f"{ns}/{name}")
+            if tab is not None:
+                break
+    if tab is not None:
+        x = np.linspace(0.0, 1.0, resolution, dtype=np.float32)
+        src = np.linspace(0.0, 1.0, tab.shape[0], dtype=np.float32)
+        return np.stack([np.interp(x, src, tab[:, i]) for i in range(3)],
+                        -1).astype(np.float32)
     if "/" in name:  # namespaced reference key -> matplotlib name
         name = name.split("/", 1)[1]
     if name in _BUILTIN:

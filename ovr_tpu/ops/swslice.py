@@ -122,11 +122,21 @@ def _dot(a, b, bf16, trans_b=False):
                                preferred_element_type=jnp.float32)
 
 
-def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, vol0a_ref, vol0b_ref,
+def _dot_t(a, b, bf16):
+    """(K, R) x (C, K) -> (R, C): contract a's dim 0 with b's dim 1
+    (neither transpose materialized)."""
+    if bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jax.lax.dot_general(a, b, (((0,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, vol0a_ref, vol0b_ref,
             vol1a_ref, vol1b_ref, lg0_ref, lg1_ref,
-            pg_ref, qg_ref, tab_ref, sc_ref, out_ref, prev_s, *, n_r, n_c,
-            n_orig, n_chunks, r_tile, wi_p, win, mode, l_r, l_c, bf16,
-            paired, col_chunk, n_extra):
+            pg_ref, qg_ref, tab_ref, sc_ref, out_ref, prev_s, t1_scr,
+            g2_scr, *, n_r, n_c, n_orig, n_chunks, r_tile, wi_p, win, mode,
+            l_r, l_c, bf16, paired, col_chunk, n_extra, win_c):
     """One (row tile, slice) grid step. out_ref (8, R, Wi) doubles as the
     compositing accumulator (VMEM-resident until the tile changes); rows
     [c_r, c_g, c_b, g_x, g_y, g_z, depth, trans->alpha].
@@ -178,6 +188,10 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, vol0a_ref, vol0b_ref,
         def row_dot(w):
             return (_dot(w[:, :win], plane_a, bf16)
                     + _dot(w[:, win:], plane_b, bf16))
+
+        def row_dot_t(w):  # (R, n_w) -> (Nc, R)
+            return (_dot_t(plane_a, w[:, :win], bf16)
+                    + _dot_t(plane_b, w[:, win:], bf16))
     else:
         row_base = w0.astype(jnp.float32)
         win0 = vol0a_ref[0, pl.dslice(w0, win), :]
@@ -188,6 +202,9 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, vol0a_ref, vol0b_ref,
         def row_dot(w):
             return _dot(w, plane_w, bf16)
 
+        def row_dot_t(w):  # (R, n_w) -> (Nc, R)
+            return _dot_t(plane_w, w, bf16)
+
     # row-shared quantities (independent of fan columns)
     pg = pg_ref[0, :]  # (Wi,)
     qg = qg_ref[:, 0]  # (R,)
@@ -195,9 +212,19 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, vol0a_ref, vol0b_ref,
     vr = jnp.clip((x2 - sc(S_LO2)) / sc(S_EX2) * n_r - 0.5, 0.0, n_r - 1.0)
     vr_loc = jnp.clip(vr - row_base, 0.0, n_w - 1.0)
     wr = _interp_w(vr_loc, n_w)  # (R, W)
-    t1 = row_dot(wr)  # (R, Nc)
-    if mode >= 1:
-        g2row = row_dot(_interp_dw(vr_loc, n_w))  # (R, Nc)
+    t1 = g2row = None
+    if win_c:
+        # transposed (Nc, R) row-resample accumulators in scratch: each
+        # column chunk below dynamic-slices a sublane-aligned K window out
+        # of them, cutting the column contraction from Nc to win_c MACs
+        # per output (the hat matrix is 2-banded; excluded terms are 0)
+        t1_scr[:, :] = row_dot_t(wr)
+        if mode >= 1:
+            g2_scr[:, :] = row_dot_t(_interp_dw(vr_loc, n_w))
+    else:
+        t1 = row_dot(wr)  # (R, Nc)
+        if mode >= 1:
+            g2row = row_dot(_interp_dw(vr_loc, n_w))  # (R, Nc)
     if mode == 2:
         cl = jnp.clip(z_rel / sc(S_EXA) * sc(S_NLA) - 0.5, 0.0,
                       sc(S_NLA) - 1.0)
@@ -236,8 +263,16 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, vol0a_ref, vol0b_ref,
         x1 = jnp.where(ortho, pgc + sc(S_DW1) * lam, sc(S_EW1) + pgc * lam)
         vc = jnp.clip((x1 - sc(S_LO1)) / sc(S_EX1) * n_c - 0.5, 0.0,
                       n_c - 1.0)
-        wc = _interp_w(vc, n_c)  # (128, Nc)
-        smp = _dot(t1, wc, bf16, trans_b=True)  # (R, 128)
+        if win_c:
+            c0 = c0_ref[j, w] * 8
+            vc_loc = jnp.clip(vc - c0.astype(jnp.float32), 0.0,
+                              win_c - 1.0)
+            t1w = t1_scr[pl.dslice(c0, win_c), :]  # (Wc, R)
+            wc = _interp_w(vc_loc, win_c)  # (CC, Wc)
+            smp = _dot_t(t1w, wc, bf16)  # (R, CC)
+        else:
+            wc = _interp_w(vc, n_c)  # (CC, Nc)
+            smp = _dot(t1, wc, bf16, trans_b=True)  # (R, CC)
 
         # exact per-pixel plane/ray interval overlap (inline slab test)
         d1 = jnp.where(ortho, sc(S_DW1), pgc)
@@ -289,9 +324,16 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, vol0a_ref, vol0b_ref,
 
         if mode >= 1:
             # analytic bilinear-derivative gradient (world units)
-            dwc = _interp_dw(vc, n_c)
-            g1 = _dot(t1, dwc, bf16, trans_b=True) * (n_c / sc(S_EX1))
-            g2 = _dot(g2row, wc, bf16, trans_b=True) * (n_r / sc(S_EX2))
+            if win_c:
+                dwc = _interp_dw(vc_loc, win_c)
+                g1 = _dot_t(t1w, dwc, bf16) * (n_c / sc(S_EX1))
+                g2w_ = g2_scr[pl.dslice(c0, win_c), :]
+                g2 = _dot_t(g2w_, wc, bf16) * (n_r / sc(S_EX2))
+            else:
+                dwc = _interp_dw(vc, n_c)
+                g1 = _dot(t1, dwc, bf16, trans_b=True) * (n_c / sc(S_EX1))
+                g2 = _dot(g2row, wc, bf16,
+                          trans_b=True) * (n_r / sc(S_EX2))
             ds = jnp.where(j > 0, (smp - prev_s[:, cs]) / sc(S_DZDLAM),
                            0.0)
             k1 = jnp.where(ortho, sc(S_K1O), pp)
@@ -374,11 +416,36 @@ def _window_offsets(scalars, pg, qg_p, k0, n_slices, n_r, r_tile, win):
     return jnp.clip(w0, 0, max(n_r - win, 0) // 8)
 
 
+def _col_offsets(scalars, pg_p, n_slices, n_c, cc, win_c):
+    """Per-(slice, column chunk) voxel-column window offsets (S, Wc)
+    int32 in units of 8 columns (vc is monotone in p for a fixed slice,
+    so chunk extremes bound the window)."""
+    wcn = pg_p.shape[0] // cc
+    dt = pg_p.dtype
+    pa = pg_p.reshape(wcn, cc)[:, 0][None, :]  # (1, Wc)
+    pb = pg_p.reshape(wcn, cc)[:, -1][None, :]
+    jf = jnp.arange(n_slices, dtype=dt)[:, None]  # (S, 1)
+    z_rel = (jf + scalars[S_OFF]) * scalars[S_DZ]
+    lam = z_rel * scalars[S_DLAM] + scalars[S_LAM0]
+    ortho = scalars[S_ORTHO] > 0.5
+
+    def vc_of(p):
+        x1 = jnp.where(ortho, p + scalars[S_DW1] * lam,
+                       scalars[S_EW1] + p * lam)
+        return jnp.clip((x1 - scalars[S_LO1]) / scalars[S_EX1] * n_c - 0.5,
+                        0.0, n_c - 1.0)
+
+    lo = jnp.minimum(vc_of(pa), vc_of(pb))
+    c0 = (jnp.floor(lo).astype(jnp.int32) - 1) // 8
+    return jnp.clip(c0, 0, max(n_c - win_c, 0) // 8)
+
+
 def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
                            n_slices: int, mode: int = 0, lgrid=None,
                            k0l=None, interpret=None, r_tile: int = 256,
                            win_r: int = 0, bf16: bool = False,
-                           n_extra: int = 0):
+                           n_extra: int = 0, win_c: int = 0,
+                           col_chunk: int = 0):
     """Run the fused slice loop. grid_v (A, Nr, Nc) traversal-ordered
     volume; rgba_tab (K, 4) merged nodal table; scalars (N_SCALARS,) f32
     (S_* layout); pg (Wi,), qg (Hi,); k0 (n_slices,) int32 slab indices
@@ -441,92 +508,107 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
     else:
         wb = jnp.zeros_like(w0s)
 
-    # column chunk: full fan width unless the per-chunk interpolation
-    # weights (wc, + dwc when shaded) would blow VMEM (~3 MB cap)
-    w_mult = 2 if mode >= 1 else 1
-    m = wi_p // LANES
-    cc = wi_p
-    for k in range(m, 0, -1):
-        if m % k:
-            continue
-        cc = k * LANES
-        if cc * n_c * 4 * w_mult <= (3 << 20):
-            break
+    if win_c and win_c < n_c and col_chunk and wi_p % col_chunk == 0:
+        cc = col_chunk  # windowed contraction: chunk fixed by the window
+    else:
+        win_c = 0
+        # column chunk: full fan width unless the per-chunk interpolation
+        # weights (wc, + dwc when shaded) would blow VMEM (~3 MB cap)
+        w_mult = 2 if mode >= 1 else 1
+        m = wi_p // LANES
+        cc = wi_p
+        for k in range(m, 0, -1):
+            if m % k:
+                continue
+            cc = k * LANES
+            if cc * n_c * 4 * w_mult <= (3 << 20):
+                break
+    if win_c:
+        c0s = _col_offsets(sc_f, pg_p.astype(jnp.float32), n_slices, n_c,
+                           cc, win_c)
+    else:
+        c0s = jnp.zeros((n_slices, max(wi_p // cc, 1)), jnp.int32)
 
     kernel = functools.partial(
         _kernel, n_r=n_r, n_c=n_c, n_orig=n_orig, n_chunks=n_chunks,
         r_tile=r_tile, wi_p=wi_p, win=win, mode=mode, l_r=l_r, l_c=l_c,
-        bf16=bf16, paired=paired, col_chunk=cc, n_extra=n_extra)
+        bf16=bf16, paired=paired, col_chunk=cc, n_extra=n_extra,
+        win_c=win_c)
     if paired:
         vol_specs = [
             pl.BlockSpec((1, win, n_c),
-                         lambda t, j, k0_, kl_, w0_, wb_: (
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (
                              k0_[j], wb_[t, j], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, win, n_c),
-                         lambda t, j, k0_, kl_, w0_, wb_: (
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (
                              k0_[j], wb_[t, j] + 1, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, win, n_c),
-                         lambda t, j, k0_, kl_, w0_, wb_: (
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (
                              k0_[j] + 1, wb_[t, j], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, win, n_c),
-                         lambda t, j, k0_, kl_, w0_, wb_: (
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (
                              k0_[j] + 1, wb_[t, j] + 1, 0),
                          memory_space=pltpu.VMEM),
         ]
     else:
         stub = pl.BlockSpec((1, min(8, n_r), min(128, n_c)),
-                            lambda t, j, k0_, kl_, w0_, wb_: (0, 0, 0),
+                            lambda t, j, k0_, kl_, w0_, wb_, c0_: (0, 0, 0),
                             memory_space=pltpu.VMEM)
         vol_specs = [
             pl.BlockSpec((1, n_r, n_c),
-                         lambda t, j, k0_, kl_, w0_, wb_: (k0_[j], 0, 0),
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (k0_[j], 0, 0),
                          memory_space=pltpu.VMEM),
             stub,
             pl.BlockSpec((1, n_r, n_c),
-                         lambda t, j, k0_, kl_, w0_, wb_: (
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (
                              k0_[j] + 1, 0, 0),
                          memory_space=pltpu.VMEM),
             stub,
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(n_tiles, n_slices),
         in_specs=vol_specs + [
             pl.BlockSpec((1, l_r, l_c),
-                         lambda t, j, k0_, kl_, w0_, wb_: (kl_[j], 0, 0),
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (kl_[j], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, l_r, l_c),
-                         lambda t, j, k0_, kl_, w0_, wb_: (
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (
                              jnp.minimum(kl_[j] + 1, l_a - 1), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, wi_p),
-                         lambda t, j, k0_, kl_, w0_, wb_: (0, 0),
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r_tile, 1),
-                         lambda t, j, k0_, kl_, w0_, wb_: (t, 0),
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, n_chunks, 1, CHUNK),
-                         lambda t, j, k0_, kl_, w0_, wb_: (0, 0, 0, 0),
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N_SCALARS),
-                         lambda t, j, k0_, kl_, w0_, wb_: (0, 0),
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((8, r_tile, wi_p),
-                               lambda t, j, k0_, kl_, w0_, wb_: (0, t, 0),
+                               lambda t, j, k0_, kl_, w0_, wb_, c0_: (0, t, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM(
-            (r_tile, wi_p) if mode >= 1 else (8, 8), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((r_tile, wi_p) if mode >= 1 else (8, 8),
+                       jnp.float32),
+            pltpu.VMEM((n_c, r_tile) if win_c else (8, 8), jnp.float32),
+            pltpu.VMEM((n_c, r_tile) if (win_c and mode >= 1) else (8, 8),
+                       jnp.float32),
+        ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((8, hi_p, wi_p), jnp.float32),
         interpret=interpret,
-    )(k0.astype(jnp.int32), k0l.astype(jnp.int32), w0s, wb,
+    )(k0.astype(jnp.int32), k0l.astype(jnp.int32), w0s, wb, c0s,
       grid_hbm, grid_hbm, grid_hbm, grid_hbm,
       lgrid.astype(jnp.float32), lgrid.astype(jnp.float32),
       pg_p.astype(jnp.float32).reshape(1, wi_p),

@@ -85,6 +85,11 @@ class SwStatic:
     # static source-row window per (tile, slice) the kernel reads; 0 = all
     # rows. Sized host-side from the worst-case fan-row -> voxel-row slope.
     win_r: int = 0
+    # static voxel-column window per (slice, column chunk) the kernel
+    # CONTRACTS (the DMA already row-windows); 0 = full Nc. Cuts the
+    # column-resample matmul from Nc to ~win_c MACs per output.
+    win_c: int = 0
+    col_chunk: int = 0  # fan columns per windowed chunk (0 = adaptive)
 
 
 def _np_basis(camera, width, height):
@@ -194,14 +199,16 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
     vv = np.concatenate([np.full(65, -0.5), np.full(65, 0.5), us, us])
     if camera.kind == ORTHOGRAPHIC:
         q = eye[w2] + uu * h[w2] + vv * v[w2]
+        p = eye[w1] + uu * h[w1] + vv * v[w1]
         lam_f = 1.0
     else:
-        num = d[w2] + uu * h[w2] + vv * v[w2]
         den = (d[axis] + uu * h[axis] + vv * v[axis]) * sign
         den = np.where(np.abs(den) < 1e-9, 1e-9, den)
-        q = num / den
+        q = (d[w2] + uu * h[w2] + vv * v[w2]) / den
+        p = (d[w1] + uu * h[w1] + vv * v[w1]) / den
         lam_f = max(abs(lo - eye[axis]), abs(hi - eye[axis]))
     q_span = (q.max() - q.min()) * 1.02 + 2e-6
+    p_span = (p.max() - p.min()) * 1.02 + 2e-6
     b_max = n_r / ex2 * (q_span / hi_i) * lam_f
     # pick the largest row tile whose kernel working set fits VMEM:
     # double-buffered out block + prev_s scratch + the slab row windows
@@ -209,7 +216,7 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
     # the 1024^3-class path where HBM traffic scales with the window)
     n_c_plane = dims_xyz[w1]
     vbytes = 2 if cfg.sw_bf16 else 4
-    budget = 10 * (1 << 20)
+    budget = 15 * (1 << 20)  # r_tile=64 at a 2048-wide fan compiles; 128 not
     r_tile = win_r = None
     for rt in (256, 128, 64, 32):
         rt_c = min(rt, rnd(hi_i))
@@ -221,6 +228,15 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
         r_tile, win_r = rt_c, (win_c if win_c < n_r else 0)
         if est <= budget:
             break
+    # column-window the resample contraction per 128-lane chunk when the
+    # window is meaningfully narrower than the plane (the 1024^3 lever)
+    ex1 = float(ext[w1])
+    b_max_c = n_c_plane / ex1 * (p_span / wi) * lam_f
+    wcol = rnd(int(np.ceil(1.25 * b_max_c * 128)) + 24)
+    col_chunk = 128
+    if wcol >= 0.6 * n_c_plane or not getattr(cfg, "sw_col_win", False):
+        wcol = 0
+        col_chunk = 0
     import jax
 
     pallas = (bool(cfg.sw_pallas) and jax.default_backend() == "tpu"
@@ -228,7 +244,8 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
     return SwStatic(axis=axis, sign=sign, n_slices=n_slices,
                     inter_h=hi_i, inter_w=wi, swap=swap,
                     separable=separable, bf16=bool(cfg.sw_bf16),
-                    pallas=pallas, r_tile=r_tile, win_r=win_r)
+                    pallas=pallas, r_tile=r_tile, win_r=win_r,
+                    win_c=wcol, col_chunk=col_chunk)
 
 
 # ---------------------------------------------------------------------------
@@ -422,7 +439,8 @@ def _fused_none(f, n_s, st, params):
     return swslice.slice_composite_pallas(
         params["grid"], params["tab"], params["sc"], params["pg"],
         params["qg"], params["k0f"].astype(jnp.int32), n_s, mode=0,
-        r_tile=sw.r_tile, win_r=sw.win_r, bf16=sw.bf16)
+        r_tile=sw.r_tile, win_r=sw.win_r, bf16=sw.bf16,
+        win_c=sw.win_c, col_chunk=sw.col_chunk)
 
 
 def _fused_none_fwd(f, n_s, st, params):
@@ -632,7 +650,7 @@ def _shaded_loop(st, P):
             lgrid=P.get("lgrid"),
             k0l=P["k0lf"].astype(jnp.int32) if "lgrid" in P else None,
             r_tile=sw.r_tile, win_r=sw.win_r, bf16=sw.bf16,
-            n_extra=n_extra)
+            n_extra=n_extra, win_c=sw.win_c, col_chunk=sw.col_chunk)
         return (jnp.moveaxis(out[0:3], 0, -1),
                 jnp.moveaxis(out[3:6], 0, -1), out[6], out[7])
     return _slices_xla_shaded((sw, ortho, mode), P)
@@ -663,7 +681,8 @@ _shaded_loop.defvjp(_shaded_loop_fwd, _shaded_loop_bwd)
 
 def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
                      row0=None, n_rows=None, sample_box=None, clip_box=None,
-                     slice0=None, n_slices_loc=None, fan_only=False):
+                     slice0=None, n_slices_loc=None, fan_only=False,
+                     pt_fields=None):
     """Render one frame. Returns premultiplied (color (N,3), grad (N,3),
     depth (N,), alpha (N,)) flat screen buffers, matching the march
     integrators' contract (finalize with `integrator.finalize`).
@@ -692,6 +711,11 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
     intermediate fan instead of warping — `ascending` (Hi, Wi) is each
     fan ray's world +z orientation (the brick-composite order) and
     `warp(c, g, d, a)` performs the deferred screen warp.
+
+    `pt_fields`: (sigma (D,H,W), J (D,H,W,3)) — the dense path tracer's
+    camera gather (render.ptdense): composite the emission-absorption
+    integral with per-plane opacity 1 - exp(-sigma dt) and emission J
+    instead of TF classification. Forces the unshaded XLA slice loop.
     """
     sw: SwStatic = cfg.sw
     assert sw is not None, "cfg.sw unresolved; call cfg.resolved(scene)"
@@ -701,7 +725,14 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
     w1, w2 = _perp_axes(axis)
     ortho = camera.kind == ORTHOGRAPHIC
 
-    grid = _volume_view(vol.grid, axis, sign)  # (A, Nr, Nc)
+    if pt_fields is not None:
+        sig_lat, j_lat = pt_fields
+        grid = _volume_view(sig_lat, axis, sign)  # (A, Nr, Nc)
+        j_view = jnp.stack(
+            [_volume_view(j_lat[..., c], axis, sign) for c in range(3)],
+            axis=-1)  # (A, Nr, Nc, 3)
+    else:
+        grid = _volume_view(vol.grid, axis, sign)  # (A, Nr, Nc)
     n_a, n_r, n_c = grid.shape
     lo = vol.world_lo
     hi = vol.world_hi
@@ -810,7 +841,7 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
     rgba_tab = _common_rgba_table(scene.tfn.color, scene.tfn.alpha)
     value_range = scene.tfn.value_range
     base = cfg.base_rate * jnp.ones((), dt)
-    diffuse = cfg.shading != "none"
+    diffuse = cfg.shading != "none" and pt_fields is None
     half = 0.5 * dz * dlam  # half plane interval in ray-parameter units
 
     def _finish(color, grad, depth, alpha):
@@ -847,6 +878,8 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
             ew1=e[w1], ew2=e[w2], dw1=direction[w1], dw2=direction[w2],
             lo1=lo1, lo2=lo2, ex1=ex1, ex2=ex2,
         )
+        if pt_fields is not None:
+            params["jlat"] = j_view
 
         def f(p, j):
             lam_j = p["lam"][j]
@@ -868,14 +901,27 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
             seg_lo = jnp.maximum(lam_j - p["half"], p["lin"])
             seg_hi = jnp.minimum(lam_j + p["half"], p["lout"])
             dt_w = jnp.maximum(seg_hi - seg_lo, 0.0) * p["speed"]
-            rgb, a = _classify_dense(smp, p["tab"], p["vr"], sw.bf16)
-            a = jnp.where(dt_w > 0,
-                          opacity_correction(a, p["base"], dt_w), 0.0)
+            if pt_fields is not None:
+                # dense path-tracer gather: opacity from the collision
+                # rate, emission from the scatter solution J (radiance —
+                # unclipped), render.ptdense
+                jsl = jax.lax.dynamic_slice(
+                    p["jlat"], (k0_j, 0, 0, 0), (2, n_r, n_c, 3))
+                jplane = jsl[0] * (1.0 - fz_j) + jsl[1] * fz_j
+                rgb = jnp.stack(
+                    [_mm(_mm(wr, jplane[..., c], sw.bf16), wc.T, sw.bf16)
+                     for c in range(3)], -1).astype(dt)
+                a = 1.0 - jnp.exp(-jnp.maximum(smp, 0.0) * dt_w)
+            else:
+                rgb, a = _classify_dense(smp, p["tab"], p["vr"], sw.bf16)
+                a = jnp.where(dt_w > 0,
+                              opacity_correction(a, p["base"], dt_w), 0.0)
+                rgb = jnp.clip(rgb, 0.0, 1.0)
             t_j = (lam_j * p["speed"])[..., None]
-            v = jnp.concatenate([jnp.clip(rgb, 0.0, 1.0), t_j], axis=-1)
+            v = jnp.concatenate([rgb, t_j], axis=-1)
             return v, a
 
-        if sw.pallas:
+        if sw.pallas and pt_fields is None:
             zdt = jnp.zeros((), dt)
             params["sc"] = _kernel_scalars(
                 dt, lo1=lo1, ex1=ex1, lo2=lo2, ex2=ex2, e1=e[w1], e2=e[w2],

@@ -210,3 +210,27 @@ def test_colormaps():
         assert cm.shape == (64, 3)
         assert cm.min() >= 0 and cm.max() <= 1
     assert "rainbow" in colormaps.available_colormaps()
+
+
+def test_all_reference_colormap_keys_resolve_without_matplotlib(monkeypatch):
+    """Every reference colormap key (extern/tfn/colormaps/colormap.h:22-74)
+    resolves from the frozen tables with matplotlib unavailable."""
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_mpl(name, *a, **k):
+        if name.startswith("matplotlib"):
+            raise ImportError("blocked")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_mpl)
+    keys = [f"{ns}/{m}" for ns, maps in colormaps._REFERENCE_KEYS.items()
+            for m in maps]
+    assert len(keys) == 50
+    for k in keys:
+        tab = colormaps.create_colormap(k, 64)
+        assert tab.shape == (64, 3) and np.isfinite(tab).all()
+    # bare names resolve through the frozen set too
+    v = colormaps.create_colormap("viridis", 16)
+    assert v.shape == (16, 3)

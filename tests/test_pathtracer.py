@@ -149,3 +149,124 @@ def test_pt_energy_increases_with_albedo():
     # with albedo 1 everything eventually escapes to ambient: both are lit,
     # but the denser medium must not lose energy
     assert vals[1] > 0.1 and vals[0] > 0.0
+
+
+class TestDensePT:
+    """render.ptdense: discrete-ordinates transport vs analytic sweeps and
+    the Monte-Carlo tracker (distributional parity in the mean image)."""
+
+    def test_sweep_uniform_slab_axial(self):
+        from ovr_tpu.render import ptdense
+
+        n = 16
+        sig_v = 0.8
+        sigma = jnp.full((n, n, n), sig_v, jnp.float32)
+        spacing = np.full(3, 1.0 / n)
+        t_f, _ = ptdense.sweep_direction(sigma, None, (0.0, 0.0, 1.0),
+                                         spacing, include_emis=False)
+        # marching +z from plane k crosses planes k..n-1
+        a = 1.0 - np.exp(-sig_v / n)
+        want = (1.0 - a) ** (n - np.arange(n))
+        got = np.asarray(t_f)[:, 8, 8]
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+        # reversed direction mirrors
+        t_b, _ = ptdense.sweep_direction(sigma, None, (0.0, 0.0, -1.0),
+                                         spacing, include_emis=False)
+        np.testing.assert_allclose(np.asarray(t_b)[:, 8, 8], want[::-1],
+                                   rtol=1e-5)
+
+    def test_sweep_diagonal_escape_bounds(self):
+        from ovr_tpu.render import ptdense
+
+        n = 16
+        sigma = jnp.full((n, n, n), 0.5, jnp.float32)
+        spacing = np.full(3, 1.0 / n)
+        d = np.array([1.0, 1.0, 1.0]) / np.sqrt(3)
+        t_f, _ = ptdense.sweep_direction(sigma, None, d, spacing,
+                                         include_emis=False)
+        t = np.asarray(t_f)
+        assert np.all((t > 0.0) & (t <= 1.0 + 1e-6))
+        # corner nearest the exit sees almost no medium
+        assert t[-1, -1, -1] > t[0, 0, 0]
+
+    def _smooth_scene(self, ambient=1.0):
+        n = 24
+        z, y, x = np.meshgrid(*([np.linspace(0, 1, n)] * 3), indexing="ij")
+        g = (0.5 + 0.5 * np.sin(5 * x) * np.cos(4 * y)
+             * np.sin(3 * z)).astype(np.float32)
+        volume = StructuredVolume.create(g)
+        tfn = TransferFunction.create(
+            np.stack([np.linspace(0.2, 1.0, 8), np.full(8, 0.6),
+                      np.linspace(1.0, 0.2, 8)], -1).astype(np.float32),
+            (np.linspace(0, 1, 8) ** 1.5).astype(np.float32), (0.0, 1.0))
+        cam = Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5),
+                            fovy=40.0)
+        from ovr_tpu.core.scene import Light
+        light = Light.create(ambient=ambient)
+        return Scene.create(volume, tfn, camera=cam, light=light)
+
+    def test_dense_matches_mc_mean_image(self):
+        """Mean premultiplied radiance of the dense solver tracks the MC
+        tracker within combined lattice/quadrature bias + MC noise."""
+        scene = self._smooth_scene()
+        w = h = 24
+        cfg_mc = api.RenderConfig(width=w, height=h, spp=48,
+                                  sampling_rate=24.0, path_tracing=True,
+                                  use_macrocells=False,
+                                  max_scatters=8).resolved(scene)
+        f_mc = api.render(scene, cfg_mc, key=jax.random.PRNGKey(5))
+        mc = np.asarray(f_mc.rgba)
+        mc_pm = mc[..., :3] * mc[..., 3:4]
+
+        cfg_d = api.RenderConfig(width=w, height=h, sampling_rate=24.0,
+                                 path_tracing=True, pt_dense=True,
+                                 pt_lattice=48, max_scatters=8,
+                                 method="auto").resolved(scene)
+        assert cfg_d.sw is not None
+        f_d = api.render(scene, cfg_d)
+        de = np.asarray(f_d.rgba)
+        de_pm = de[..., :3] * de[..., 3:4]
+        # interiors only (warped silhouette vs binary box alpha)
+        interior = mc[..., 3] > 0.999
+        interior[:3] = interior[-3:] = False
+        interior[:, :3] = interior[:, -3:] = False
+        assert interior.sum() > 100
+        err = np.abs(de_pm - mc_pm)[interior]
+        assert err.mean() < 0.035, err.mean()
+        # global energy within 20%
+        assert abs(de_pm[interior].sum() - mc_pm[interior].sum()) \
+            < 0.2 * mc_pm[interior].sum() + 1e-3
+
+    def test_dense_single_scatter_tracks_mc(self):
+        """max_scatters=2 (single collision): tighter parity — only the
+        lattice/quadrature bias separates the two estimators."""
+        scene = self._smooth_scene()
+        w = h = 20
+        cfg_mc = api.RenderConfig(width=w, height=h, spp=64,
+                                  sampling_rate=24.0, path_tracing=True,
+                                  use_macrocells=False,
+                                  max_scatters=2).resolved(scene)
+        f_mc = api.render(scene, cfg_mc, key=jax.random.PRNGKey(7))
+        mc = np.asarray(f_mc.rgba)
+        cfg_d = api.RenderConfig(width=w, height=h, sampling_rate=24.0,
+                                 path_tracing=True, pt_dense=True,
+                                 pt_lattice=48, max_scatters=2,
+                                 method="auto").resolved(scene)
+        f_d = api.render(scene, cfg_d)
+        de = np.asarray(f_d.rgba)
+        interior = mc[..., 3] > 0.999
+        interior[:3] = interior[-3:] = False
+        interior[:, :3] = interior[:, -3:] = False
+        err = np.abs(de[..., :3] * de[..., 3:4]
+                     - mc[..., :3] * mc[..., 3:4])[interior]
+        assert err.mean() < 0.03, err.mean()
+
+    def test_dense_renderer_facade_caches_fields(self):
+        scene = self._smooth_scene()
+        r = api.Renderer(scene, api.RenderConfig(
+            width=12, height=12, sampling_rate=16.0, path_tracing=True,
+            pt_dense=True, pt_lattice=24, method="auto"))
+        r.render()
+        assert r._pt_fields is not None
+        out = r.mapframe()
+        assert np.isfinite(out["rgba"]).all()

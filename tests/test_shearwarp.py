@@ -216,6 +216,37 @@ class TestParity:
                                        np.asarray(full.grad), atol=1e-5,
                                        err_msg=shading)
 
+    def test_pallas_column_windows_match_full(self):
+        """The column-windowed contraction (win_c: dynamic-sliced K window
+        out of the transposed row-resample scratch) reproduces the
+        full-Nc kernel — window coverage + hat-zero exclusion, columns
+        edition of the row-window test. The policy enables only when the
+        worst-case chunk span is well under the plane width: a wide
+        256-column volume viewed orthographically through a wide fan."""
+        n = 256
+        ax = np.linspace(0, 1, n, dtype=np.float32)
+        g = (0.5 + 0.45 * np.sin(9 * ax[None, None, :])
+             * np.cos(7 * ax[None, :, None])
+             * np.sin(5 * ax[:, None, None] + 0.3)).astype(np.float32)
+        cam = Camera.create(from_=(0.5, 0.5, -2.0), at=(0.5, 0.5, 0.5),
+                            height=0.12, kind="orthographic")
+        scene = _scene(g, cam)
+        cfg = api.RenderConfig(width=640, height=64, sampling_rate=24.0,
+                               shading="diffuse", sw_col_win=True,
+                               method="shearwarp").resolved(scene)
+        sw = cfg.sw
+        assert sw.win_c > 0 and sw.col_chunk == 128, (sw.win_c,
+                                                      sw.col_chunk)
+        full = api.render(scene, dataclasses.replace(
+            cfg, sw=dataclasses.replace(sw, pallas=True, win_c=0,
+                                        col_chunk=0)))
+        win = api.render(scene, dataclasses.replace(
+            cfg, sw=dataclasses.replace(sw, pallas=True)))
+        np.testing.assert_allclose(np.asarray(win.rgba),
+                                   np.asarray(full.rgba), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(win.grad),
+                                   np.asarray(full.grad), atol=1e-5)
+
     def test_shaded_backward_matches_scan_autodiff(self, small_grid,
                                                    monkeypatch):
         """The bounded-memory shaded adjoint (_shaded_loop's custom VJP via
