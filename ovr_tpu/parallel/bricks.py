@@ -295,6 +295,127 @@ def _render_brick_rows_sw(scene: Scene, camera: Camera,
     return rgba.reshape(hb, cfg.width, 4)
 
 
+def make_train_step_bricked(cfg: api.RenderConfig, mesh: Mesh,
+                            lr: float = 1e-2,
+                            segment_steps: Optional[int] = None):
+    """Distributed differentiable rendering with the volume SHARDED over
+    bricks (never replicated — the 2048^3-scale training mode).
+
+    Each device renders its brick's segment of its rows' rays (shear-warp
+    when cfg.sw is set, else march), ring-composites, and computes the
+    band loss. Gradients:
+      - the local slab's gradient is `psum`'d over the TILE axis (every
+        band integrates every brick),
+      - halo-row gradients are exchanged ADDITIVELY with neighbor bricks
+        by `ppermute` (a slab's 2-row halos are copies of the neighbors'
+        edge rows; global-edge halos fold into the brick's own edge row,
+        matching brick_volume's edge-clamp padding),
+      - TF tables `psum` over the whole mesh.
+    After the SGD update of the owned rows, halo VALUES are refreshed from
+    the neighbors' new rows with a second ppermute, so every slab stays
+    bit-consistent with an unbricked update.
+
+    Returns step(bricked, tf_color, tf_alpha, scene, camera, target)
+    -> (bricked', tf_color', tf_alpha', loss). `target` is (H, W, 4),
+    row-sharded like the render.
+    """
+    n_tiles = mesh.shape[TILE_AXIS]
+    n_bricks = mesh.shape[BRICK_AXIS]
+    assert cfg.max_steps is not None, "call cfg.resolved(scene) first"
+    assert cfg.height % n_tiles == 0
+    hb = cfg.height // n_tiles
+    seg = segment_steps or cfg.max_steps
+    if cfg.sw is not None:
+        rnd8 = lambda x: max(8, int(-(-x // 8) * 8))
+        sw_band = dataclasses.replace(
+            cfg.sw, inter_h=rnd8(max(64, cfg.sw.inter_h // n_tiles)))
+        cfg_band = dataclasses.replace(cfg, sw=sw_band)
+
+    def body(bricked, tfc, tfa, scene, camera, screen_rows, target_rows):
+        def loss_fn(slab, c_, a_):
+            bv = dataclasses.replace(bricked, bricks=slab[None])
+            s = dataclasses.replace(
+                scene, tfn=dataclasses.replace(scene.tfn, color=c_,
+                                               alpha=a_))
+            if cfg.sw is not None:
+                rgba = _render_brick_rows_sw(
+                    s, camera, cfg_band, bv, None, n_bricks, hb,
+                    ring_composite)
+            else:
+                rgba = _render_brick_rows(
+                    s, camera, cfg, bv, screen_rows, seg, ring_composite,
+                    n_bricks)
+            # every brick's device recomputes the SAME band loss (the
+            # composited rgba is replicated over the brick axis), and the
+            # transposed ppermute sums all of their cotangents — divide by
+            # n_bricks so the assembled gradients equal the unbricked ones
+            return jnp.sum((rgba - target_rows) ** 2) / (
+                cfg.height * cfg.width * 4 * n_bricks)
+
+        slab = bricked.bricks[0]
+        (loss, grads) = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+            slab, tfc, tfa)
+        g_slab, g_c, g_a = grads
+        g_slab = jax.lax.psum(g_slab, TILE_AXIS)
+        g_c = jax.lax.psum(g_c, (TILE_AXIS, BRICK_AXIS))
+        g_a = jax.lax.psum(g_a, (TILE_AXIS, BRICK_AXIS))
+        loss = jax.lax.psum(loss, (TILE_AXIS, BRICK_AXIS))
+
+        s_own = slab.shape[0] - 4
+        b = jax.lax.axis_index(BRICK_AXIS)
+        is_first = b == 0
+        is_last = b == n_bricks - 1
+        g_pre = g_slab[0:2]        # belongs to the previous brick
+        g_own = g_slab[2:s_own + 2]
+        g_post = g_slab[s_own + 2:]  # belongs to the next brick
+        perm_dn = [(k, (k - 1) % n_bricks) for k in range(n_bricks)]
+        perm_up = [(k, (k + 1) % n_bricks) for k in range(n_bricks)]
+        from_next = jax.lax.ppermute(g_pre, BRICK_AXIS, perm_dn)
+        from_prev = jax.lax.ppermute(g_post, BRICK_AXIS, perm_up)
+        # interior: add neighbor halo grads; global edges: the halo rows
+        # were edge-clamp copies of my own edge row — fold them in
+        z2 = jnp.zeros_like(from_prev)
+        g_own = g_own.at[0:2].add(jnp.where(is_first, 0.0, from_prev))
+        g_own = g_own.at[0].add(jnp.where(is_first, g_pre.sum(0), 0.0))
+        g_own = g_own.at[s_own - 2:].add(
+            jnp.where(is_last, 0.0, from_next))
+        g_own = g_own.at[s_own - 1].add(
+            jnp.where(is_last, g_post.sum(0), 0.0))
+        del z2
+
+        new_own = slab[2:s_own + 2] - lr * g_own
+        new_tfc = jnp.clip(tfc - lr * g_c, 0.0, 1.0)
+        new_tfa = jnp.clip(tfa - lr * g_a, 0.0, 1.0)
+
+        # refresh halos from the neighbors' UPDATED rows
+        top = jax.lax.ppermute(new_own[s_own - 2:], BRICK_AXIS, perm_up)
+        bot = jax.lax.ppermute(new_own[0:2], BRICK_AXIS, perm_dn)
+        edge_top = jnp.broadcast_to(new_own[0:1], top.shape)
+        edge_bot = jnp.broadcast_to(new_own[-1:], bot.shape)
+        top = jnp.where(is_first, edge_top, top)
+        bot = jnp.where(is_last, edge_bot, bot)
+        new_slab = jnp.concatenate([top, new_own, bot], axis=0)
+        new_bricked = dataclasses.replace(bricked, bricks=new_slab[None])
+        return new_bricked, new_tfc, new_tfa, loss
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(BRICK_AXIS), P(), P(), P(), P(), P(TILE_AXIS),
+                  P(TILE_AXIS)),
+        out_specs=(P(BRICK_AXIS), P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(bricked: BrickedVolume, tfc, tfa, scene: Scene,
+             camera: Camera, target):
+        scene_s = _strip_volume(scene)
+        screen = pixel_screen_coords(cfg.width, cfg.height, cfg.dtype)
+        return fn(bricked, tfc, tfa, scene_s, camera, screen, target)
+
+    return step
+
+
 def render_bricked(scene: Scene, bricked: BrickedVolume,
                    cfg: api.RenderConfig, mesh: Mesh,
                    camera: Optional[Camera] = None,
@@ -326,7 +447,7 @@ def render_bricked(scene: Scene, bricked: BrickedVolume,
     composite = ring_composite if use_ring else gather_composite
     scene_s = _strip_volume(scene)
 
-    if cfg.sw is not None:
+    if cfg.sw is not None and not getattr(scene, "geometries", ()):
         sw = cfg.sw
         if sw.axis == 2 and sw.n_slices % n_bricks != 0:
             raise ValueError(

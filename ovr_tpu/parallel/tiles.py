@@ -165,9 +165,29 @@ def make_train_step(cfg: api.RenderConfig, mesh: Mesh, lr: float = 1e-2,
     is row-sharded like the render; parameters are replicated.
     """
 
+    n_tiles = mesh.shape[TILE_AXIS]
+    hb = cfg.height // n_tiles
+    if cfg.sw is not None:
+        rnd8 = lambda x: max(8, int(-(-x // 8) * 8))
+        sw_band = dataclasses.replace(
+            cfg.sw, inter_h=rnd8(max(64, cfg.sw.inter_h // n_tiles)))
+        cfg_band = dataclasses.replace(cfg, sw=sw_band)
+
     def local_loss(state, scene, camera, screen_rows, target_rows):
         s = _apply_params(scene, state)
-        rgba = _render_rows(s, camera, cfg, screen_rows)
+        if cfg.sw is not None:
+            # fast differentiable path: banded shear-warp through the
+            # bounded-memory over-compositing adjoint (ops.adjoint)
+            from ovr_tpu.render import shearwarp as swr
+            row0 = jax.lax.axis_index(TILE_AXIS) * hb
+            color, grad, depth, alpha = swr.render_shearwarp(
+                s, cfg_band, camera, row0=row0, n_rows=hb)
+            color, grad, depth, alpha = ig.finalize(color, grad, depth,
+                                                    alpha)
+            rgba = jnp.concatenate([color, alpha[..., None]], -1)
+            rgba = rgba.reshape(hb, cfg.width, 4)
+        else:
+            rgba = _render_rows(s, camera, cfg, screen_rows)
         # mean over the *global* pixel count so loss matches unsharded math
         return jnp.sum((rgba - target_rows) ** 2) / (
             cfg.height * cfg.width * 4)

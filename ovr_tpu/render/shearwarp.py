@@ -120,10 +120,11 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
         return None  # neural fields march
     if vol.grid.shape[0] < 2 or vol.grid.shape[1] < 2 or vol.grid.shape[2] < 2:
         return None
-    if getattr(scene, "geometries", ()):
-        return None  # surface compositing not factorized yet
+    # geometries are eligible: surfaces intersect the FAN rays in closed
+    # form (dense Möller-Trumbore / iso root-bracketing), clamp the
+    # per-pixel interval, and composite behind the volume before the warp
     if getattr(scene, "instances", ()):
-        return None  # multi-volume scenes composite via render.multivol
+        return None  # api.resolved builds per-instance plans instead
     lights = getattr(scene, "lights", ())
     n_xdir = sum(1 for lt in lights
                  if lt.kind in ("directional", "sunsky"))
@@ -809,6 +810,22 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
     l_in, l_out = intersect_box(ovec, dvec, clp_lo, clp_hi, zero, big)
     l_out = jnp.maximum(l_out, l_in)
 
+    # non-volume geometry on the fan rays: closed-form surface hits clamp
+    # the volume interval; the shaded surface composites behind the slice
+    # loop's output before the warp (march equivalent: api.render's
+    # t_cap + background blend, `shaders_raymarching.cu:283-311`)
+    geometry = (getattr(scene, "geometries", ()) and pt_fields is None)
+    if geometry:
+        from ovr_tpu.render import geometry as geo
+        bg_rgb, bg_a, t_bg = geo.render_geometries(
+            scene, ovec.reshape(-1, 3), dvec.reshape(-1, 3),
+            iso_steps=cfg.iso_steps, chunk=cfg.geometry_chunk)
+        bg_rgb = bg_rgb.reshape(hi_i, wi_i, 3)
+        bg_a = bg_a.reshape(hi_i, wi_i)
+        t_bg = t_bg.reshape(hi_i, wi_i)
+        l_out = jnp.minimum(l_out, jnp.where(bg_a > 0, t_bg, big))
+        l_out = jnp.maximum(l_out, l_in)
+
     # ---- sample-plane schedule (always the GLOBAL box's lattice) ---------
     n_s = sw.n_slices
     dz = ext[axis] / n_s  # world spacing between planes
@@ -845,6 +862,12 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
     half = 0.5 * dz * dlam  # half plane interval in ray-parameter units
 
     def _finish(color, grad, depth, alpha):
+        if geometry:  # surface behind the volume (premultiplied over)
+            tr = 1.0 - alpha
+            color = color + (tr * bg_a)[..., None] * bg_rgb
+            depth = depth + tr * bg_a * jnp.minimum(t_bg, 1e30) * speed
+            alpha = alpha + tr * bg_a
+
         def warp(c_, g_, d_, a_):
             return _sw_warp_out(c_, g_, d_, a_, cfg, camera, sw,
                                 p_scr, q_scr, p_lo, q_lo, dp, dq, pg, u, v,

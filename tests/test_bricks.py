@@ -131,3 +131,49 @@ def test_brick_volume_geometry(small_grid):
     ohi = np.asarray(bv.own_hi)[:, 2]
     np.testing.assert_allclose(olo, [0.0, 0.25, 0.5, 0.75])
     np.testing.assert_allclose(ohi, [0.25, 0.5, 0.75, 1.0])
+
+
+def test_bricked_train_step_matches_unbricked(small_grid):
+    """The volume-sharded training step (halo-gradient ppermute exchange +
+    halo refresh) produces the same updated grid and TF tables as an
+    unbricked SGD step — the grid is never replicated."""
+    import jax
+
+    scene = _scene(small_grid, (0.5, 0.5, -1.6))
+    cfg = api.RenderConfig(width=16, height=16, spp=1, sampling_rate=48.0,
+                           shading="none", method="shearwarp",
+                           sw_slice_align=8).resolved(scene)
+    m = pmesh.make_mesh(n_tiles=1, n_bricks=8)
+    bv = bricks.brick_volume(scene.volume, 8)
+    lr = 0.25
+    step = bricks.make_train_step_bricked(cfg, m, lr=lr)
+    target = jnp.zeros((16, 16, 4), jnp.float32)
+    bv2, tfc2, tfa2, loss = step(bv, scene.tfn.color, scene.tfn.alpha,
+                                 scene, scene.camera, target)
+    nb = np.asarray(bv2.bricks)
+    rebuilt = np.concatenate([nb[b][2:-2] for b in range(8)], axis=0)
+    # halo consistency: each slab's halo rows equal the neighbors' rows
+    for b in range(1, 8):
+        np.testing.assert_allclose(nb[b][:2], nb[b - 1][-4:-2], atol=1e-6)
+
+    def loss_fn(grid, c, a):
+        s = dataclasses.replace(
+            scene, volume=dataclasses.replace(scene.volume, grid=grid),
+            tfn=dataclasses.replace(scene.tfn, color=c, alpha=a))
+        f = api.render(s, cfg)
+        return jnp.sum((f.rgba - target.reshape(16, 16, 4)) ** 2) / (
+            16 * 16 * 4)
+
+    g = jax.grad(loss_fn, argnums=(0, 1, 2))(
+        scene.volume.grid, scene.tfn.color, scene.tfn.alpha)
+    want_grid = np.asarray(scene.volume.grid - lr * g[0])
+    scale = np.abs(want_grid).max() + 1e-8
+    # tolerance covers fp-reassociation noise amplified through the
+    # straight-alpha division in finalize; indexing/normalization bugs in
+    # the halo exchange show O(gradient) errors, orders above this
+    d = np.abs(rebuilt - want_grid) / scale
+    assert d.max() < 3e-4, d.max()
+    assert d.mean() < 3e-6, d.mean()
+    np.testing.assert_allclose(
+        np.asarray(tfa2),
+        np.clip(np.asarray(scene.tfn.alpha - lr * g[2]), 0, 1), atol=2e-4)

@@ -116,3 +116,33 @@ def test_phong_material_shading():
     rgb = geo.shade_phong(mat, jnp.ones((1, 3)), nrm, light, ldir, vdir)
     # head-on: diffuse 0.5 + specular 1.0
     np.testing.assert_allclose(np.asarray(rgb[0]), [1.5] * 3, atol=1e-5)
+
+
+def test_shearwarp_geometry_parity(small_grid):
+    """Geometry scenes are shear-warp eligible: surfaces are intersected
+    on the fan rays, clamp the per-pixel volume interval, and composite
+    behind — parity vs the march's t_cap + background blend."""
+    scene = simple_scene(small_grid)
+    cam = Camera.create(from_=(0.5, 0.5, -1.5), at=(0.5, 0.5, 0.5),
+                        fovy=60.0)
+    quad = _quad(z=0.8, lo=-3.0, hi=3.0)  # inside the volume: true t_cap
+    red = Material.create(kd=(1.0, 0.0, 0.0), ks=(0, 0, 0))
+    scene = dataclasses.replace(
+        scene, camera=cam,
+        geometries=(GeometryInstance.create(quad, material=red),))
+
+    cfg_m = api.RenderConfig(width=48, height=40, sampling_rate=48.0,
+                             shading="none").resolved(scene)
+    cfg_s = dataclasses.replace(cfg_m, method="shearwarp").resolved(scene)
+    assert cfg_s.sw is not None
+    fm = api.render(scene, cfg_m)
+    fs = api.render(scene, cfg_s)
+    pm = np.asarray(fm.rgba[..., :3] * fm.rgba[..., 3:4])
+    ps = np.asarray(fs.rgba[..., :3] * fs.rgba[..., 3:4])
+    interior = np.zeros(pm.shape[:2], bool)
+    interior[3:-3, 3:-3] = True
+    err = np.abs(pm - ps).max(-1)[interior]
+    assert np.quantile(err, 0.95) < 0.06, np.quantile(err, 0.95)
+    # the backdrop fills coverage in both
+    np.testing.assert_allclose(np.asarray(fs.rgba[..., 3])[interior], 1.0,
+                               atol=0.05)

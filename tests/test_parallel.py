@@ -144,3 +144,33 @@ class TestShearwarpSharded:
                                               light_grid=lg))
         assert np.isfinite(out).all()
         assert out[..., 3].max() > 0.3
+
+
+def test_train_step_shearwarp_fast_path(small_grid):
+    """make_train_step routes banded shear-warp when cfg carries a plan:
+    the distributed differentiable fast path (psum'd grads through the
+    bounded-memory adjoint) optimizes toward a target."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ovr_tpu import api
+    from ovr_tpu.core.scene import Camera, simple_scene
+    from ovr_tpu.parallel import mesh as pmesh, tiles
+
+    scene = dataclasses.replace(
+        simple_scene(small_grid),
+        camera=Camera.create(from_=(0.5, 0.5, -1.8), at=(0.5, 0.5, 0.5)))
+    cfg = api.RenderConfig(width=16, height=16, sampling_rate=16.0,
+                           shading="none",
+                           method="shearwarp").resolved(scene)
+    assert cfg.sw is not None
+    m = pmesh.make_mesh(n_tiles=4, n_bricks=2)
+    target = jnp.zeros((16, 16, 4), jnp.float32)
+    state = tiles.init_train_state(scene)
+    step = tiles.make_train_step(cfg, m, lr=0.5)
+    losses = []
+    for _ in range(3):
+        state, loss = step(state, scene, scene.camera, target)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.98, losses

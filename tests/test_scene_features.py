@@ -4,6 +4,7 @@ import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ovr_tpu import api
 from ovr_tpu.core.scene import (
@@ -176,3 +177,50 @@ class TestMultiVolume:
         c = np.asarray(f.rgba)
         mid = c[12, 12]
         assert mid[1] > 0.9 and mid[0] < 0.1  # green blocker wins
+
+
+class TestMultiVolumeShearwarp:
+    def test_instances_resolve_per_volume_plans(self, small_grid):
+        scene = TestMultiVolume._two_volume_scene(
+            TestMultiVolume(), small_grid)
+        cfg = api.RenderConfig(method="auto", shading="none",
+                               width=64, height=32,
+                               sampling_rate=16.0).resolved(scene)
+        assert isinstance(cfg.sw, tuple) and len(cfg.sw) == 2
+
+    @pytest.mark.parametrize("shading", ["none", "diffuse"])
+    def test_instanced_shearwarp_matches_march(self, small_grid, shading):
+        """Per-instance shear-warp + depth-ordered compositing matches
+        the march's multivol path (disjoint boxes: parity to quadrature
+        tolerance over the joint interior)."""
+        scene = TestMultiVolume._two_volume_scene(
+            TestMultiVolume(), small_grid)
+        cfg_m = api.RenderConfig(method="march", shading=shading,
+                                 width=64, height=32,
+                                 sampling_rate=32.0).resolved(scene)
+        cfg_s = api.RenderConfig(method="shearwarp", shading=shading,
+                                 width=64, height=32,
+                                 sampling_rate=32.0).resolved(scene)
+        assert isinstance(cfg_s.sw, tuple)
+        fm = api.render(scene, cfg_m)
+        fs = api.render(scene, cfg_s)
+        am = np.asarray(fm.rgba[..., 3])
+        pm = np.asarray(fm.rgba[..., :3] * fm.rgba[..., 3:4])
+        ps = np.asarray(fs.rgba[..., :3] * fs.rgba[..., 3:4])
+        # erode the footprint (resampled silhouettes differ by ~1px)
+        interior = am > 0.02
+        interior[:2] = interior[-2:] = False
+        interior[:, :2] = interior[:, -2:] = False
+        from numpy.lib.stride_tricks import sliding_window_view as swv
+        er = np.zeros_like(interior)
+        er[1:-1, 1:-1] = swv(interior, (3, 3)).all((-1, -2))
+        err = np.abs(pm - ps).max(-1)[er]
+        assert err.size > 100
+        assert np.quantile(err, 0.95) < 0.09, np.quantile(err, 0.95)
+
+    def test_shadow_falls_back_to_march(self, small_grid):
+        scene = TestMultiVolume._two_volume_scene(
+            TestMultiVolume(), small_grid)
+        cfg = api.RenderConfig(method="auto",
+                               shading="shadow").resolved(scene)
+        assert cfg.sw is None
