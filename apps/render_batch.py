@@ -55,6 +55,10 @@ def parse_args(argv=None):
     p.add_argument("--sequence-offset", type=int, default=0)
     p.add_argument("--no-save", action="store_true",
                    help="skip PNG writes (pure fps measurement)")
+    p.add_argument("--ab", action="store_true",
+                   help="A/B oracle harness: render march vs shear-warp "
+                        "to EXRs and print PSNR (the reference's disabled "
+                        "cross-backend comparison, main_batch.cpp:121-222)")
     p.add_argument("--resume", action="store_true",
                    help="skip frames whose output PNG already exists")
     p.add_argument("--method", default="auto",
@@ -118,6 +122,35 @@ def main(argv=None) -> None:
     renderer.set_frame_accumulation(True)
     renderer.set_camera(camera=camera)
     renderer.commit()
+
+    if args.ab:
+        # A/B comparison oracle: both integrators on the same scene +
+        # camera, EXRs for offline inspection, PSNR printed — the working
+        # version of the reference's #if 0 harness (OSPRay-vs-OptiX EXR
+        # dumps, apps/main_batch.cpp:121-222)
+        import dataclasses as _dc
+
+        from ovr_tpu.io.image import save_exr
+
+        outs = {}
+        for meth in ("march", "shearwarp"):
+            try:
+                r2 = api.Renderer(scene, _dc.replace(
+                    renderer._cfg, method=meth, sw=None,
+                    max_steps=None, shadow_max_steps=None))
+                r2.set_camera(camera=camera)
+                r2.render()
+                outs[meth] = r2.mapframe()["rgba"]
+                save_exr(f"{args.expname}{meth}.exr", outs[meth])
+            except ValueError as e:
+                print(f"{meth}: ineligible ({e})")
+        if len(outs) == 2:
+            a, b = outs["march"], outs["shearwarp"]
+            pm = lambda im: im[..., :3] * im[..., 3:4]
+            mse = float(np.mean((pm(a) - pm(b)) ** 2))
+            psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+            print(f"psnr = {psnr:.2f} dB  (mse = {mse:.3e})")
+        return
 
     if args.sequence:
         # Time-varying streaming (BASELINE config #3): disk IO of timestep

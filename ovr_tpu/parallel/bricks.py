@@ -374,14 +374,12 @@ def make_train_step_bricked(cfg: api.RenderConfig, mesh: Mesh,
         from_prev = jax.lax.ppermute(g_post, BRICK_AXIS, perm_up)
         # interior: add neighbor halo grads; global edges: the halo rows
         # were edge-clamp copies of my own edge row — fold them in
-        z2 = jnp.zeros_like(from_prev)
         g_own = g_own.at[0:2].add(jnp.where(is_first, 0.0, from_prev))
         g_own = g_own.at[0].add(jnp.where(is_first, g_pre.sum(0), 0.0))
         g_own = g_own.at[s_own - 2:].add(
             jnp.where(is_last, 0.0, from_next))
         g_own = g_own.at[s_own - 1].add(
             jnp.where(is_last, g_post.sum(0), 0.0))
-        del z2
 
         new_own = slab[2:s_own + 2] - lr * g_own
         new_tfc = jnp.clip(tfc - lr * g_c, 0.0, 1.0)

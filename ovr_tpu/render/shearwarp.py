@@ -229,6 +229,18 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
         r_tile, win_r = rt_c, (win_c if win_c < n_r else 0)
         if est <= budget:
             break
+    # mode-aware caps, calibrated by compile-probing on v5e (16 MB VMEM):
+    # the shaded kernels keep a larger live set per (row, lane) — shadow
+    # at 256-scale needs r_tile <= 128; diffuse/shadow at the wide-fan
+    # 1024-scale need r_tile <= 32 (rt64 diffuse OOMs by <1 MB)
+    big = wi >= 1024 or n_c_plane >= 512
+    if cfg.shading == "shadow":
+        r_tile = min(r_tile, 32 if big else 128)
+    elif cfg.shading != "none" and big:
+        r_tile = min(r_tile, 32)
+    win_r = rnd(int(np.ceil(1.25 * b_max * r_tile)) + 24)
+    if win_r >= n_r:
+        win_r = 0
     # column-window the resample contraction per 128-lane chunk when the
     # window is meaningfully narrower than the plane (the 1024^3 lever)
     ex1 = float(ext[w1])
