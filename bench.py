@@ -54,16 +54,34 @@ def main() -> None:
 
     from ovr_tpu import api
 
-    grid_n = int(os.environ.get("BENCH_GRID", 256))
+    # the headline metric is the BASELINE.json config: rays/s/chip at
+    # 1080p on a 1024^3 grid (diffuse). Grid data defaults to bfloat16
+    # residency at the 1024 scale (the reference renders u8/u16 natively
+    # as normalized-int textures, `array.h:68-106`); CPU runs default to
+    # the small CI-sized config.
+    default_grid = 1024 if jax.default_backend() == "tpu" else 256
+    grid_n = int(os.environ.get("BENCH_GRID", default_grid))
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
     rate = float(os.environ.get("BENCH_RATE", grid_n))
-    frames = int(os.environ.get("BENCH_FRAMES", 25))
-    warmup = int(os.environ.get("BENCH_WARMUP", 5))
+    frames = int(os.environ.get("BENCH_FRAMES", 10 if grid_n >= 512 else 25))
+    warmup = int(os.environ.get("BENCH_WARMUP", 3 if grid_n >= 512 else 5))
     shading = os.environ.get("BENCH_SHADING", "diffuse")
     method = os.environ.get("BENCH_METHOD", "auto")
+    store = os.environ.get("BENCH_STORE",
+                           "bf16" if grid_n >= 512 else "f32")
 
     scene = build_scene(grid_n)
+    if store != "f32":
+        import jax.numpy as jnp
+        vol = scene.volume
+        if store == "bf16":
+            vol = dataclasses.replace(vol, grid=vol.grid.astype(jnp.bfloat16))
+        elif store == "u8":
+            raw = jnp.clip(jnp.round(vol.grid * 255), 0, 255
+                           ).astype(jnp.uint8)
+            vol = dataclasses.replace(vol, grid=raw)
+        scene = dataclasses.replace(scene, volume=vol)
     n_lights = int(os.environ.get("BENCH_EXTRA_LIGHTS", 0))
     if n_lights:
         from ovr_tpu.core.scene import Light
@@ -78,11 +96,15 @@ def main() -> None:
     # BENCH_PT: "mc" = delta-tracking tracker (macrocell DDA),
     # "dense" = discrete-ordinates lattice solve + shear-warp gather
     pt = os.environ.get("BENCH_PT", "")
+    bf16_mm = os.environ.get("BENCH_BF16", "") == "1"
+    term = os.environ.get("BENCH_TERM", "1") == "1"
+    skip = os.environ.get("BENCH_SKIP", "1") == "1"
     cfg = api.RenderConfig(
         width=width, height=height, spp=1, sampling_rate=rate,
         shading=shading, fast_math=True, use_macrocells=True, method=method,
         ray_chunk=int(ray_chunk) if ray_chunk else None,
-        adaptive_scale=adaptive,
+        adaptive_scale=adaptive, sw_bf16=bf16_mm, sw_term=term,
+        sw_skip=skip,
         path_tracing=bool(pt), pt_dense=(pt == "dense"),
     ).resolved(scene)
 
@@ -231,10 +253,18 @@ def main() -> None:
     # BASELINE.md); the first run of a config writes its own baseline.
     platform = jax.devices()[0].platform
     shading = cfg.shading  # backward forces 'none'; key must record reality
+    # storage suffix: only non-default storage forks the baseline key (the
+    # headline 1024^3 entry keeps its round-3 key for round-over-round
+    # accountability; bf16 residency is its round-4 default, like the
+    # reference's native normalized-int textures)
+    store_sfx = "" if store == ("bf16" if grid_n >= 512 else "f32") \
+        else f"-s{store}"
     cfg_key = (f"{platform}-{grid_n}-{width}x{height}-{rate}-{shading}"
-               f"-{method}" + ("-bwd" if backward else "")
+               f"-{method}" + store_sfx + ("-bwd" if backward else "")
                + (f"-l{n_lights}" if n_lights else "")
                + (f"-rc{ray_chunk}" if ray_chunk else "")
+               + ("-mm16" if bf16_mm else "")
+               + ("" if term else "-noterm") + ("" if skip else "-noskip")
                + (f"-as{adaptive:g}" if adaptive != 1.0 else "")
                + (f"-pt{pt}" if pt else "")
                + (f"-tv{os.environ['BENCH_TIMEVAR']}"
@@ -264,8 +294,8 @@ def main() -> None:
     if backward:
         desc += ", grid+TF grads via bounded-memory adjoint"
     print(json.dumps({
-        "metric": f"{kind} rays/s ({grid_n}^3 grid, {width}x{height}, "
-                  f"{shading} shading, {desc})",
+        "metric": f"{kind} rays/s ({grid_n}^3 {store} grid, "
+                  f"{width}x{height}, {shading} shading, {desc})",
         "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": rays_per_s / base,

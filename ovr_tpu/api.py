@@ -65,6 +65,12 @@ class RenderConfig:
     # fuse the unshaded slice loop into the Pallas TPU kernel (ops.swslice;
     # VMEM-resident carry); gradients route through the over_scan adjoint
     sw_pallas: bool = True
+    # early ray termination inside the fused kernel (alpha >= 0.9999 +
+    # box-exit test, `shaders_raymarching.cu:110`); off under autodiff
+    sw_term: bool = True
+    # macrocell empty-slice skipping inside the fused kernel (pass
+    # macrocells= to render(); `accel/dda.h` semantics)
+    sw_skip: bool = True
     sw: Any = None  # resolved shear-warp plan (SwStatic; set by resolved())
     shading: str = ig.SHADING_SHADOW
     shadow_scale: float = 10.0
@@ -86,7 +92,10 @@ class RenderConfig:
     # shadow term from a precomputed light-transmittance lattice
     # (render.lightgrid) instead of a per-sample shadow march
     shadow_grid: bool = True
-    shadow_grid_res: int = 128  # lattice resolution cap per axis
+    # lattice resolution cap per axis; 0 = scale with the volume
+    # (clamp(grid/4, 128, 512)) so 1024^3 grids get a 256-class lattice
+    # instead of an 8x-per-axis-coarser one
+    shadow_grid_res: int = 0
     shading_scale: float = 0.8  # 'ssh' deferred-shade blend weight
     # rays per lax.map chunk (None = whole frame at once); bounds working-set
     # memory and localizes the fast-math early exit to a chunk
@@ -125,7 +134,11 @@ class RenderConfig:
                 # (render.multivol's ordering). Lattice shadows would
                 # need per-instance light grids — march instead.
                 sw = None
-                if self.shading in (ig.SHADING_NONE, ig.SHADING_DIFFUSE):
+                any_xfm = any(getattr(i, "xfm", None) is not None
+                              for i in insts)
+                if (not any_xfm
+                        and self.shading in (ig.SHADING_NONE,
+                                             ig.SHADING_DIFFUSE)):
                     plans = []
                     vols = [(scene.volume, scene.tfn)] + [
                         (i.volume, i.tfn) for i in insts]
@@ -255,7 +268,8 @@ def build_light_grid(scene: Scene, cfg: RenderConfig) -> jnp.ndarray:
         scene.tfn.value_range, cfg.base_rate * jnp.ones((), cfg.dtype))
     vol = scene.volume
     shape = vol.grid.shape if hasattr(vol, "grid") else (128, 128, 128)
-    res = lightgrid.default_resolution(shape, cap=cfg.shadow_grid_res)
+    cap = cfg.shadow_grid_res or min(512, max(128, max(shape) // 4))
+    res = lightgrid.default_resolution(shape, cap=cap)
     direction = safe_normalize(scene.light.direction)
     if not isinstance(direction, jax.core.Tracer) and hasattr(vol, "grid"):
         return lightgrid.build_light_grid_swept(
@@ -299,7 +313,7 @@ def render(scene: Scene, cfg: RenderConfig, camera: Optional[Camera] = None,
         if light_grid is None and _wants_light_grid(cfg):
             light_grid = build_light_grid(scene, cfg)
         return _render_shearwarp_frame(scene, cfg, camera, key, last_camera,
-                                       light_grid)
+                                       light_grid, macrocells)
 
     screen = pixel_screen_coords(cfg.width, cfg.height, cfg.dtype)
     screen = screen.reshape(-1, 2)
@@ -457,7 +471,7 @@ def _sw_instances(scene: Scene, cfg: RenderConfig, camera: Camera, off):
 
 def _render_shearwarp_frame(scene: Scene, cfg: RenderConfig, camera: Camera,
                             key: jax.Array, last_camera,
-                            light_grid=None) -> Frame:
+                            light_grid=None, macrocells=None) -> Frame:
     """Shear-warp fast path: dense slice-order compositing
     (render.shearwarp). spp > 1 stratifies the sample-plane offset (the
     dense analogue of per-ray t-jitter); jitter_rays randomizes it."""
@@ -475,7 +489,8 @@ def _render_shearwarp_frame(scene: Scene, cfg: RenderConfig, camera: Camera,
                                                       off)
         else:
             color, grad, depth, alpha = shearwarp.render_shearwarp(
-                scene, cfg, camera, jitter=off, light_grid=light_grid)
+                scene, cfg, camera, jitter=off, light_grid=light_grid,
+                macrocells=macrocells)
         return (acc[0] + color, acc[1] + grad, acc[2] + depth,
                 acc[3] + alpha)
 

@@ -72,7 +72,19 @@ def sample_volume(grid: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     c11 = c011 * (1 - fx) + c111 * fx
     c0 = c00 * (1 - fy) + c10 * fy
     c1 = c01 * (1 - fy) + c11 * fy
-    return c0 * (1 - fz) + c1 * fz
+    out = c0 * (1 - fz) + c1 * fz
+    return out * storage_scale(grid.dtype)
+
+
+def storage_scale(dtype) -> float:
+    """Normalized-integer storage scale: a u8/u16 grid samples as
+    raw * 1/int_max, exactly the reference's normalized-integer texture
+    read (`ovr/devices/optix7/array.h:68-106`). Floats scale by 1."""
+    import numpy as np
+    d = np.dtype(dtype)
+    if d.kind in ("u", "i"):
+        return 1.0 / float(np.iinfo(d).max)
+    return 1.0
 
 
 def sample_table_1d(table: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:

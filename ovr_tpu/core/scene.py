@@ -110,7 +110,7 @@ class StructuredVolume:
     (i + 0.5) / dims with clamp addressing and trilinear filtering.
     """
 
-    grid: jnp.ndarray  # (Z, Y, X) float32
+    grid: jnp.ndarray  # (Z, Y, X); float32, bfloat16 or native uint8/16
     world_lo: jnp.ndarray  # (3,)
     world_hi: jnp.ndarray  # (3,)
     data_range: jnp.ndarray  # (2,) actual min/max of grid (normalized units)
@@ -118,13 +118,28 @@ class StructuredVolume:
     @staticmethod
     def create(grid, world_lo=(0.0, 0.0, 0.0), world_hi=(1.0, 1.0, 1.0),
                data_range=None) -> "StructuredVolume":
-        grid = _as_f32(grid)
+        # compact storage dtypes stay native: u8/u16 sample as
+        # normalized-integer textures (`ovr/devices/optix7/array.h:68-106`,
+        # scale = 1/int_max applied by the samplers), bf16 as-is
+        dt = getattr(grid, "dtype", None)
+        if dt is not None and np.dtype(dt) in (np.dtype(np.uint8),
+                                               np.dtype(np.uint16)):
+            grid = jnp.asarray(grid)
+            scale = 1.0 / float(np.iinfo(np.dtype(dt)).max)
+        elif dt is not None and dt == jnp.bfloat16:
+            grid = jnp.asarray(grid)
+            scale = 1.0
+        else:
+            grid = _as_f32(grid)
+            scale = 1.0
         if data_range is None:
             if hasattr(grid, "devices"):  # jax array: reduce on device
-                data_range = (float(grid.min()), float(grid.max()))
+                data_range = (float(grid.min()) * scale,
+                              float(grid.max()) * scale)
             else:
                 gnp = np.asarray(grid)
-                data_range = (float(gnp.min()), float(gnp.max()))
+                data_range = (float(gnp.min()) * scale,
+                              float(gnp.max()) * scale)
         return StructuredVolume(
             grid=grid, world_lo=_as_f32(world_lo), world_hi=_as_f32(world_hi),
             data_range=_as_f32(data_range),
@@ -294,15 +309,24 @@ class Scene:
 class VolumeInstance:
     """A structured volume + its transfer function placed in the world —
     one volumetric model instance (`ovr::scene::Model`/`Instance`,
-    `ovr/scene.h:306-327`). The volume's own world box places it (axis-
-    aligned; general affine instancing applies to geometry instances)."""
+    `ovr/scene.h:306-327`, affine volume placement
+    `ovr/devices/optix7/volume.cpp:25-40`, TLAS `device_impl.cpp:575-610`).
+
+    `xfm` is an optional (3, 4) object-to-world affine [R | t] applied on
+    top of the volume's own world box (None = axis-aligned placement).
+    Rays transform world->object for integration with the direction left
+    unnormalized, so t values — and therefore step lengths and depth —
+    stay in world units."""
 
     volume: StructuredVolume
     tfn: TransferFunction
+    xfm: Any = None  # (3, 4) or None
 
     @staticmethod
-    def create(volume, tfn) -> "VolumeInstance":
-        return VolumeInstance(volume=volume, tfn=tfn)
+    def create(volume, tfn, xfm=None) -> "VolumeInstance":
+        if xfm is not None:
+            xfm = _as_f32(xfm)
+        return VolumeInstance(volume=volume, tfn=tfn, xfm=xfm)
 
 
 def simple_scene(grid, color=None, alpha=None, value_range=None, **kw) -> Scene:

@@ -25,11 +25,19 @@ def load_raw_volume(
     vtype: ValueType | str,
     offset: int = 0,
     big_endian: bool = False,
+    native_dtype: bool = True,
 ) -> tuple[np.ndarray, tuple[float, float]]:
     """Load a raw volume file.
 
     `dims` is (X, Y, Z) like the reference; the returned array has shape
     (Z, Y, X) in C order (x fastest, matching the file layout).
+
+    `native_dtype`: unsigned 8/16-bit volumes stay in their file dtype —
+    the renderer samples them as normalized-integer textures
+    (`ovr/devices/optix7/array.h:68-106`), so a u8 CT volume occupies 1
+    byte/voxel in HBM instead of 4. The returned value range is always in
+    normalized units. Signed/32-bit/float types expand to float32 as
+    before (`core.types.normalize_array`).
     """
     if isinstance(vtype, str):
         vtype = ValueType(vtype)
@@ -41,6 +49,17 @@ def load_raw_volume(
         raise ValueError(
             f"File size {fsize} < offset {offset} + data size {nbytes}: {path}"
         )
+
+    if native_dtype and vtype in (ValueType.UINT8, ValueType.UINT16):
+        dt = vtype.dtype
+        if big_endian and vtype.size > 1:
+            dt = dt.newbyteorder(">")
+        data = np.fromfile(path, dtype=dt, count=count, offset=offset)
+        if big_endian and vtype.size > 1:
+            data = data.astype(vtype.dtype)
+        grid = data.reshape(z, y, x)
+        s = 1.0 / float(np.iinfo(vtype.dtype).max)
+        return grid, (float(grid.min()) * s, float(grid.max()) * s)
 
     data = _load_native(path, count, vtype, offset, big_endian)
     if data is None:

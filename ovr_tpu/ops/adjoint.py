@@ -90,11 +90,16 @@ def adjoint_sweep(f, n_steps, params, t_final, v_bar, t_bar):
         v, a = f(p, k)
         return v, jnp.clip(a, 0.0, A_MAX)
 
-    # all differentiable inputs must be inexact (float) leaves
-    zero_params = jax.tree_util.tree_map(jnp.zeros_like, params)
+    # integer leaves (native-dtype u8/u16 volume storage) have no tangent
+    # space: carry cotangents only for the inexact leaves and reassemble
+    # with float0 zeros at the end (what jax.vjp itself produces for them)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    is_float = [jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact)
+                for x in leaves]
+    zero_f = [jnp.zeros_like(x) for x, ok in zip(leaves, is_float) if ok]
 
     def body(carry, k):
-        trans_next, run, p_bar = carry  # T_{k+1}, R_k, params cotangent
+        trans_next, run, pb_f = carry  # T_{k+1}, R_k, float cotangents
         (v, a), vjp_f = jax.vjp(lambda p: step_val(p, k), params)
         one_m = jnp.maximum(1.0 - a, 1e-12)
         trans = trans_next / one_m  # T_k reconstructed in reverse
@@ -102,15 +107,22 @@ def adjoint_sweep(f, n_steps, params, t_final, v_bar, t_bar):
         a_bar = trans * w - (run + t_bar * t_final) / one_m
         v_bar_k = (trans * a)[..., None] * v_bar
         (p_contrib,) = vjp_f((v_bar_k, a_bar))
-        p_bar = jax.tree_util.tree_map(jnp.add, p_bar, p_contrib)
+        c_leaves = jax.tree_util.tree_leaves(p_contrib)
+        c_f = [c for c, ok in zip(c_leaves, is_float) if ok]
+        pb_f = [b + c for b, c in zip(pb_f, c_f)]
         run = run + trans * a * w
-        return (trans, run, p_bar), None
+        return (trans, run, pb_f), None
 
     run0 = jnp.zeros(t_final.shape, t_final.dtype)
-    (_, _, p_bar), _ = jax.lax.scan(
-        body, (t_final, run0, zero_params),
+    (_, _, pb_f), _ = jax.lax.scan(
+        body, (t_final, run0, zero_f),
         jnp.arange(n_steps - 1, -1, -1))
-    return p_bar
+    import numpy as np
+    it = iter(pb_f)
+    out_leaves = [
+        next(it) if ok else np.zeros(np.shape(x), jax.dtypes.float0)
+        for x, ok in zip(leaves, is_float)]
+    return jax.tree_util.tree_unflatten(treedef, out_leaves)
 
 
 def _bwd(f, n_steps, res, cots):

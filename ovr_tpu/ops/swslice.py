@@ -27,6 +27,26 @@ This kernel fuses the whole loop:
   which stays resident in VMEM for all slices of a row tile and is flushed
   to HBM once.
 
+Data-dependent work avoidance (round 4 — the reference's two defining
+optimizations, re-expressed for a tile-synchronous kernel):
+
+  * Macrocell empty-slice skipping (`accel/spatial_partition.h:56-96`,
+    `accel/dda.h:30-148`): the caller passes the macrocell majorant grid in
+    traversal order; `_active_slices` reduces it to a per-(tile, slice)
+    activity bit (is any majorant nonzero inside the tile's source-row
+    window of the slice's two slabs?) and compacts the active slice indices
+    into a prefetched per-tile schedule `jf[t, i]` with count `n_act[t]`.
+    The kernel's grid stays (tiles, n_slices); steps past `n_act[t]` repeat
+    the last active slice's block indices — Pallas elides the re-fetch when
+    a block index is unchanged — and skip all compute, so empty planes cost
+    neither DMA nor FLOPs.
+  * Early ray termination (`shaders_raymarching.cu:110`, alpha >= 0.9999):
+    after each composited slice the kernel ANDs, over the tile, "this ray
+    can still contribute" = (transmittance > 1e-4) AND (the ray's box-exit
+    parameter lies ahead of the current plane). When no ray can, a
+    scalar-memory flag kills all remaining compute for the tile (the plane
+    schedule is front-to-back, so the test is monotone).
+
 Shading modes (static):
   0 none     — emission-absorption only
   1 diffuse  — gradient shading; the world gradient is the *analytic*
@@ -37,17 +57,21 @@ Shading modes (static):
                lattice, resampled with the same machinery (streamed like
                the volume with its own prefetched z indices)
 
-`bf16=True` runs every matmul with bfloat16 operands (f32 accumulation via
-preferred_element_type) — ~2x MXU throughput for ~0.4% weight error.
+Native-dtype residency (`array.h:68-106` — the reference samples u8/u16
+volumes as normalized-integer textures): the volume may stream as float32,
+bfloat16, uint8 or uint16. Integer slabs are cast on the VPU after the DMA
+and the normalization scale (1/int_max) is folded into the row
+interpolation weights (S_GS), so HBM footprint and traffic shrink 2-4x
+while every downstream quantity stays in normalized units.
 
-HBM traffic per frame ~= row_tiles x the volume (+ lattice) planes + the
-final (8, Hi, Wi) buffer, vs ~3 GB of scan-carry traffic for the XLA
-version at 512^2 x 256 slices.
+`bf16=True` additionally runs every matmul with bfloat16 operands (f32
+accumulation via preferred_element_type).
 
 Reference semantics fused: trilinear sampling (`shaders_common.h:186-193`,
 factorized per plane), TF classification (`:356-367`), opacity correction
 (`shaders_raymarching.cu:117-122`), gradient shading + shadow modulation
-(`:125-159`), front-to-back over (`:160-166`).
+(`:125-159`), front-to-back over (`:160-166`), early exit (`:110`),
+macrocell skipping (`accel/dda.h`).
 """
 
 from __future__ import annotations
@@ -61,6 +85,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128  # fan-width padding granularity = one vreg of lanes
 CHUNK = 128  # TF-table lanes per gather chunk
+MC = 16  # macrocell edge in voxels (accel.MACROCELL_SIZE)
+T_EPS = 1e-4  # termination transmittance (alpha >= 0.9999)
 
 # scalar vector layout (SMEM input, shape (1, N_SCALARS)).
 # S_LO1/EX1/LO2/EX2 are the SAMPLE box (voxel texel coordinates); the
@@ -78,7 +104,9 @@ CHUNK = 128  # TF-table lanes per gather chunk
  S_GLO1, S_GEX1, S_GLO2, S_GEX2) = range(48)
 # up to 4 extra directional lights, 4 slots each: d_w1, d_w2, d_axis, I
 S_EL0 = 48
-N_SCALARS = 64
+# normalized-integer / storage scale folded into the row weights
+S_GS = 64
+N_SCALARS = 72
 
 
 def _tf_gather(tab_ref, ch, idx, n_chunks):
@@ -132,14 +160,19 @@ def _dot_t(a, b, bf16):
                                preferred_element_type=jnp.float32)
 
 
-def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, vol0a_ref, vol0b_ref,
-            vol1a_ref, vol1b_ref, lg0_ref, lg1_ref,
+def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
+            vol0a_ref, vol0b_ref, vol1a_ref, vol1b_ref, lg0_ref, lg1_ref,
             pg_ref, qg_ref, tab_ref, sc_ref, out_ref, prev_s, t1_scr,
-            g2_scr, *, n_r, n_c, n_orig, n_chunks, r_tile, wi_p, win, mode,
-            l_r, l_c, bf16, paired, col_chunk, n_extra, win_c):
-    """One (row tile, slice) grid step. out_ref (8, R, Wi) doubles as the
-    compositing accumulator (VMEM-resident until the tile changes); rows
-    [c_r, c_g, c_b, g_x, g_y, g_z, depth, trans->alpha].
+            g2_scr, alive_ref, *, n_r, n_c, n_orig, n_chunks, r_tile, wi_p,
+            win, mode, l_r, l_c, bf16, paired, col_chunk, n_extra, win_c,
+            sub, term):
+    """One (row tile, slice-schedule step) grid step. out_ref (8, R, Wi)
+    doubles as the compositing accumulator (VMEM-resident until the tile
+    changes); rows [c_r, c_g, c_b, g_x, g_y, g_z, depth, trans->alpha].
+
+    Step j of tile t processes slice jf_ref[t, j] of the global plane
+    schedule (the compacted active-slice list); steps >= na_ref[t] and
+    steps after the tile's rays saturate are skipped.
 
     `paired`: block-pair streaming — each slab arrives as two consecutive
     (WB=win)-row HBM blocks (vol*a/vol*b at block rows wb, wb+1) instead of
@@ -156,245 +189,275 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, vol0a_ref, vol0b_ref,
         out_ref[7, :, :] = jnp.ones((r_tile, wi_p), jnp.float32)
         if mode >= 1:
             prev_s[:, :] = jnp.zeros((r_tile, wi_p), jnp.float32)
+        if term:
+            alive_ref[0, 0] = 1
 
     def sc(i):
         return sc_ref[0, i]
 
-    jf = j.astype(jnp.float32)
-    z_rel = (jf + sc(S_OFF)) * sc(S_DZ)
-    lam = z_rel * sc(S_DLAM) + sc(S_LAM0)
-    ortho = sc(S_ORTHO) > 0.5
+    js = jf_ref[t, j]  # actual slice index in the global schedule
+    go = j < na_ref[t]
+    if term:
+        go = go & (alive_ref[0, 0] == 1)
 
-    # z-lerp weight (fz recomputed to match the prefetched
-    # k0 = clip(floor(c), 0, n_a - 2)); axial texel mapping goes through
-    # the sample box (S_SMP0/S_SMPSC), which is the global box unbricked
-    c = jnp.clip((z_rel - sc(S_SMP0)) * sc(S_SMPSC) - 0.5, 0.0,
-                 sc(S_NA) - 1.0)
-    kf = jnp.clip(jnp.floor(c), 0.0, sc(S_NA) - 2.0)
-    fz = c - kf
+    @pl.when(go)
+    def _body():
+        jf = js.astype(jnp.float32)
+        z_rel = (jf + sc(S_OFF)) * sc(S_DZ)
+        lam = z_rel * sc(S_DLAM) + sc(S_LAM0)
+        ortho = sc(S_ORTHO) > 0.5
 
-    # window of source rows this row tile touches (prefetched in units of
-    # 8 rows so Mosaic can prove sublane alignment of the dynamic slice).
-    # Paired mode avoids value-level dynamic slicing (no Mosaic lowering):
-    # interpolation rows are built in block-PAIR coordinates and the row
-    # matmul splits across the two blocks — two MXU matmuls, summed.
-    w0 = w0_ref[t, j] * 8
-    if paired:
-        row_base = (wb_ref[t, j] * win).astype(jnp.float32)
-        plane_a = vol0a_ref[0] * (1.0 - fz) + vol1a_ref[0] * fz
-        plane_b = vol0b_ref[0] * (1.0 - fz) + vol1b_ref[0] * fz
-        n_w = 2 * win
+        # z-lerp weight (fz recomputed to match the prefetched
+        # k0 = clip(floor(c), 0, n_a - 2)); axial texel mapping goes
+        # through the sample box (S_SMP0/S_SMPSC) = the global box unbricked
+        c = jnp.clip((z_rel - sc(S_SMP0)) * sc(S_SMPSC) - 0.5, 0.0,
+                     sc(S_NA) - 1.0)
+        kf = jnp.clip(jnp.floor(c), 0.0, sc(S_NA) - 2.0)
+        fz = c - kf
 
-        def row_dot(w):
-            return (_dot(w[:, :win], plane_a, bf16)
-                    + _dot(w[:, win:], plane_b, bf16))
+        def up(x):
+            # integer / compact slabs -> f32 on the VPU after the DMA
+            return x if x.dtype == jnp.float32 else x.astype(jnp.float32)
 
-        def row_dot_t(w):  # (R, n_w) -> (Nc, R)
-            return (_dot_t(plane_a, w[:, :win], bf16)
-                    + _dot_t(plane_b, w[:, win:], bf16))
-    else:
-        row_base = w0.astype(jnp.float32)
-        win0 = vol0a_ref[0, pl.dslice(w0, win), :]
-        win1 = vol1a_ref[0, pl.dslice(w0, win), :]
-        plane_w = win0 * (1.0 - fz) + win1 * fz  # (W, Nc)
-        n_w = win
+        # window of source rows this row tile touches (prefetched in units
+        # of `sub` rows so Mosaic can prove sublane alignment of the
+        # dynamic slice). Paired mode avoids value-level dynamic slicing
+        # (no Mosaic lowering): interpolation rows are built in block-PAIR
+        # coordinates and the row matmul splits across the two blocks.
+        w0 = w0_ref[t, js] * sub
+        if paired:
+            row_base = (wb_ref[t, js] * win).astype(jnp.float32)
+            plane_a = up(vol0a_ref[0]) * (1.0 - fz) + up(vol1a_ref[0]) * fz
+            plane_b = up(vol0b_ref[0]) * (1.0 - fz) + up(vol1b_ref[0]) * fz
+            n_w = 2 * win
 
-        def row_dot(w):
-            return _dot(w, plane_w, bf16)
+            def row_dot(w):
+                return (_dot(w[:, :win], plane_a, bf16)
+                        + _dot(w[:, win:], plane_b, bf16))
 
-        def row_dot_t(w):  # (R, n_w) -> (Nc, R)
-            return _dot_t(plane_w, w, bf16)
-
-    # row-shared quantities (independent of fan columns)
-    pg = pg_ref[0, :]  # (Wi,)
-    qg = qg_ref[:, 0]  # (R,)
-    x2 = jnp.where(ortho, qg + sc(S_DW2) * lam, sc(S_EW2) + qg * lam)
-    vr = jnp.clip((x2 - sc(S_LO2)) / sc(S_EX2) * n_r - 0.5, 0.0, n_r - 1.0)
-    vr_loc = jnp.clip(vr - row_base, 0.0, n_w - 1.0)
-    wr = _interp_w(vr_loc, n_w)  # (R, W)
-    t1 = g2row = None
-    if win_c:
-        # transposed (Nc, R) row-resample accumulators in scratch: each
-        # column chunk below dynamic-slices a sublane-aligned K window out
-        # of them, cutting the column contraction from Nc to win_c MACs
-        # per output (the hat matrix is 2-banded; excluded terms are 0)
-        t1_scr[:, :] = row_dot_t(wr)
-        if mode >= 1:
-            g2_scr[:, :] = row_dot_t(_interp_dw(vr_loc, n_w))
-    else:
-        t1 = row_dot(wr)  # (R, Nc)
-        if mode >= 1:
-            g2row = row_dot(_interp_dw(vr_loc, n_w))  # (R, Nc)
-    if mode == 2:
-        cl = jnp.clip(z_rel / sc(S_EXA) * sc(S_NLA) - 0.5, 0.0,
-                      sc(S_NLA) - 1.0)
-        kl = jnp.clip(jnp.floor(cl), 0.0, sc(S_NLA) - 2.0)
-        fzl = cl - kl
-        # the lattice spans the GLOBAL box (S_G*), not the sample box
-        lplane = lg0_ref[0] * (1.0 - fzl) + lg1_ref[0] * fzl
-        lvr = jnp.clip((x2 - sc(S_GLO2)) / sc(S_GEX2) * l_r - 0.5, 0.0,
-                       l_r - 1.0)
-        lt = _dot(_interp_w(lvr, l_r), lplane, bf16)  # (R, Lc)
-
-    def axis_rng(o, d, lo, ext):
-        small = jnp.abs(d) < 1e-12
-        dd = jnp.where(small, 1.0, d)
-        a = (lo - o) / dd
-        b = (lo + ext - o) / dd
-        lo_t = jnp.where(small, jnp.where(o >= lo, -3.4e38, 3.4e38),
-                         jnp.minimum(a, b))
-        hi_t = jnp.where(small, jnp.where(o <= lo + ext, 3.4e38, -3.4e38),
-                         jnp.maximum(a, b))
-        return lo_t, hi_t
-
-    d2 = jnp.where(ortho, sc(S_DW2), qg)
-    o2 = jnp.where(ortho, qg, sc(S_EW2))
-    l2, h2 = axis_rng(o2, d2, sc(S_CLO2), sc(S_CEX2))  # (R,)
-    la = sc(S_CLA)
-    ha = sc(S_CHA)
-
-    # sweep the fan width in column chunks: the interpolation matrix,
-    # classification and shading never materialize wider than one chunk
-    # (Wi x Nc weights would be ~8 MB of VMEM at a 2048-wide fan over 1024
-    # columns; col_chunk = wi_p for small fans = the unchunked fast path)
-    for w in range(wi_p // col_chunk):
-        cs = slice(w * col_chunk, (w + 1) * col_chunk)
-        pgc = pg[cs]  # (CC,)
-        x1 = jnp.where(ortho, pgc + sc(S_DW1) * lam, sc(S_EW1) + pgc * lam)
-        vc = jnp.clip((x1 - sc(S_LO1)) / sc(S_EX1) * n_c - 0.5, 0.0,
-                      n_c - 1.0)
-        if win_c:
-            c0 = c0_ref[j, w] * 8
-            vc_loc = jnp.clip(vc - c0.astype(jnp.float32), 0.0,
-                              win_c - 1.0)
-            t1w = t1_scr[pl.dslice(c0, win_c), :]  # (Wc, R)
-            wc = _interp_w(vc_loc, win_c)  # (CC, Wc)
-            smp = _dot_t(t1w, wc, bf16)  # (R, CC)
+            def row_dot_t(w):  # (R, n_w) -> (Nc, R)
+                return (_dot_t(plane_a, w[:, :win], bf16)
+                        + _dot_t(plane_b, w[:, win:], bf16))
         else:
-            wc = _interp_w(vc, n_c)  # (CC, Nc)
-            smp = _dot(t1, wc, bf16, trans_b=True)  # (R, CC)
+            row_base = w0.astype(jnp.float32)
+            win0 = up(vol0a_ref[0, pl.dslice(w0, win), :])
+            win1 = up(vol1a_ref[0, pl.dslice(w0, win), :])
+            plane_w = win0 * (1.0 - fz) + win1 * fz  # (W, Nc)
+            n_w = win
 
-        # exact per-pixel plane/ray interval overlap (inline slab test)
-        d1 = jnp.where(ortho, sc(S_DW1), pgc)
-        o1 = jnp.where(ortho, pgc, sc(S_EW1))
-        l1, h1 = axis_rng(o1, d1, sc(S_CLO1), sc(S_CEX1))  # (128,)
-        l_in = jnp.maximum(
-            jnp.maximum(jnp.maximum(l1[None, :], l2[:, None]), la), 0.0)
-        l_out = jnp.maximum(
-            jnp.minimum(jnp.minimum(h1[None, :], h2[:, None]), ha), l_in)
-        pp = jnp.broadcast_to(pgc[None, :], (r_tile, col_chunk))
-        qq = jnp.broadcast_to(qg[:, None], (r_tile, col_chunk))
-        speed = jnp.where(ortho, 1.0, jnp.sqrt(pp * pp + qq * qq + 1.0))
-        seg_lo = jnp.maximum(lam - sc(S_HALF), l_in)
-        seg_hi = jnp.minimum(lam + sc(S_HALF), l_out)
-        dt_w = jnp.maximum(seg_hi - seg_lo, 0.0) * speed
+            def row_dot(w):
+                return _dot(w, plane_w, bf16)
 
-        # classify per 128-lane sub-chunk: value -> two-tap nodal lookup
-        v = jnp.clip((smp - sc(S_VLO)) * sc(S_VSCALE), 0.0, 1.0)
-        cc = v * (n_orig - 1)
-        i0_f = jnp.clip(jnp.floor(cc), 0.0, n_orig - 1.0)
-        f = cc - i0_f
-        parts = {0: [], 1: [], 2: [], 3: []}
-        for u in range(col_chunk // CHUNK):
-            sl = slice(u * CHUNK, (u + 1) * CHUNK)
-            i0 = i0_f[:, sl].astype(jnp.int32)
-            i1 = jnp.minimum(i0 + 1, n_orig - 1)
-            fw = f[:, sl]
-            for ch in range(4):
-                lo_v = _tf_gather(tab_ref, ch, i0, n_chunks)
-                hi_v = _tf_gather(tab_ref, ch, i1, n_chunks)
-                parts[ch].append(lo_v * (1.0 - fw) + hi_v * fw)
+            def row_dot_t(w):  # (R, n_w) -> (Nc, R)
+                return _dot_t(plane_w, w, bf16)
 
-        def cat(xs):
-            return xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=1)
+        # row-shared quantities (independent of fan columns)
+        pg = pg_ref[0, :]  # (Wi,)
+        qg = qg_ref[:, 0]  # (R,)
+        x2 = jnp.where(ortho, qg + sc(S_DW2) * lam, sc(S_EW2) + qg * lam)
+        vr = jnp.clip((x2 - sc(S_LO2)) / sc(S_EX2) * n_r - 0.5, 0.0,
+                      n_r - 1.0)
+        vr_loc = jnp.clip(vr - row_base, 0.0, n_w - 1.0)
+        # storage scale (normalized-int 1/max) folds into the row weights
+        wr = _interp_w(vr_loc, n_w) * sc(S_GS)  # (R, W)
+        t1 = g2row = None
+        if win_c:
+            # transposed (Nc, R) row-resample accumulators in scratch: each
+            # column chunk below dynamic-slices a sublane-aligned K window
+            # out of them, cutting the column contraction from Nc to win_c
+            # MACs per output (the hat matrix is 2-banded)
+            t1_scr[:, :] = row_dot_t(wr)
+            if mode >= 1:
+                g2_scr[:, :] = row_dot_t(
+                    _interp_dw(vr_loc, n_w) * sc(S_GS))
+        else:
+            t1 = row_dot(wr)  # (R, Nc)
+            if mode >= 1:
+                g2row = row_dot(_interp_dw(vr_loc, n_w) * sc(S_GS))
+        if mode == 2:
+            cl = jnp.clip(z_rel / sc(S_EXA) * sc(S_NLA) - 0.5, 0.0,
+                          sc(S_NLA) - 1.0)
+            kl = jnp.clip(jnp.floor(cl), 0.0, sc(S_NLA) - 2.0)
+            fzl = cl - kl
+            # the lattice spans the GLOBAL box (S_G*), not the sample box
+            lplane = lg0_ref[0] * (1.0 - fzl) + lg1_ref[0] * fzl
+            lvr = jnp.clip((x2 - sc(S_GLO2)) / sc(S_GEX2) * l_r - 0.5, 0.0,
+                           l_r - 1.0)
+            lt = _dot(_interp_w(lvr, l_r), lplane, bf16)  # (R, Lc)
 
-        r = jnp.clip(cat(parts[0]), 0.0, 1.0)
-        g = jnp.clip(cat(parts[1]), 0.0, 1.0)
-        b = jnp.clip(cat(parts[2]), 0.0, 1.0)
-        a_raw = cat(parts[3])
+        def axis_rng(o, d, lo, ext):
+            small = jnp.abs(d) < 1e-12
+            dd = jnp.where(small, 1.0, d)
+            a = (lo - o) / dd
+            b = (lo + ext - o) / dd
+            lo_t = jnp.where(small, jnp.where(o >= lo, -3.4e38, 3.4e38),
+                             jnp.minimum(a, b))
+            hi_t = jnp.where(small,
+                             jnp.where(o <= lo + ext, 3.4e38, -3.4e38),
+                             jnp.maximum(a, b))
+            return lo_t, hi_t
 
-        # opacity correction 1 - (1-a)^(base*dt), nearly_equal skip
-        k = sc(S_BASE) * dt_w
-        a_c = jnp.clip(a_raw, 0.0, 1.0 - 1e-7)
-        a = jnp.clip(1.0 - jnp.exp(k * jnp.log1p(-a_c)), 0.0, 1.0)
-        a = jnp.where(jnp.abs(k - 1.0) < 1e-7,
-                      jnp.clip(a_raw, 0.0, 1.0), a)
-        a = jnp.where(dt_w > 0.0, a, 0.0)
-        a = jnp.minimum(a, 1.0 - 1e-6)  # over_scan's A_MAX
+        d2 = jnp.where(ortho, sc(S_DW2), qg)
+        o2 = jnp.where(ortho, qg, sc(S_EW2))
+        l2, h2 = axis_rng(o2, d2, sc(S_CLO2), sc(S_CEX2))  # (R,)
+        la = sc(S_CLA)
+        ha = sc(S_CHA)
 
-        if mode >= 1:
-            # analytic bilinear-derivative gradient (world units)
+        any_alive = jnp.zeros((), jnp.bool_)
+
+        # sweep the fan width in column chunks: the interpolation matrix,
+        # classification and shading never materialize wider than one chunk
+        for w in range(wi_p // col_chunk):
+            cs = slice(w * col_chunk, (w + 1) * col_chunk)
+            pgc = pg[cs]  # (CC,)
+            x1 = jnp.where(ortho, pgc + sc(S_DW1) * lam,
+                           sc(S_EW1) + pgc * lam)
+            vc = jnp.clip((x1 - sc(S_LO1)) / sc(S_EX1) * n_c - 0.5, 0.0,
+                          n_c - 1.0)
             if win_c:
-                dwc = _interp_dw(vc_loc, win_c)
-                g1 = _dot_t(t1w, dwc, bf16) * (n_c / sc(S_EX1))
-                g2w_ = g2_scr[pl.dslice(c0, win_c), :]
-                g2 = _dot_t(g2w_, wc, bf16) * (n_r / sc(S_EX2))
+                c0 = c0_ref[js, w] * 8
+                vc_loc = jnp.clip(vc - c0.astype(jnp.float32), 0.0,
+                                  win_c - 1.0)
+                t1w = t1_scr[pl.dslice(c0, win_c), :]  # (Wc, R)
+                wc = _interp_w(vc_loc, win_c)  # (CC, Wc)
+                smp = _dot_t(t1w, wc, bf16)  # (R, CC)
             else:
-                dwc = _interp_dw(vc, n_c)
-                g1 = _dot(t1, dwc, bf16, trans_b=True) * (n_c / sc(S_EX1))
-                g2 = _dot(g2row, wc, bf16,
-                          trans_b=True) * (n_r / sc(S_EX2))
-            ds = jnp.where(j > 0, (smp - prev_s[:, cs]) / sc(S_DZDLAM),
-                           0.0)
-            k1 = jnp.where(ortho, sc(S_K1O), pp)
-            k2 = jnp.where(ortho, sc(S_K2O), qq)
-            ga = (ds - g1 * k1 - g2 * k2) * sc(S_INVDA)
-            n1, n2, na = -g1, -g2, -ga
-            inv = jax.lax.rsqrt(n1 * n1 + n2 * n2 + na * na + 1e-12)
-            cos_nl = jnp.abs(sc(S_LD1) * n1 + sc(S_LD2) * n2
-                             + sc(S_LDA) * na) * inv
-            if mode == 2:
-                lvc = jnp.clip((x1 - sc(S_GLO1)) / sc(S_GEX1) * l_c - 0.5,
-                               0.0, l_c - 1.0)
-                sh = _dot(lt, _interp_w(lvc, l_c), bf16, trans_b=True)
-                shadow = jnp.clip(sh, 0.0, 1.0)
-            else:
-                shadow = 0.0
-            # total = primary (x0.5, intensity 2 folded) + extra dir
-            # lights (integrator._march_step's shade formula)
-            total = cos_nl
-            for i in range(n_extra):
-                b0 = S_EL0 + 4 * i
-                ce = jnp.abs(sc(b0) * n1 + sc(b0 + 1) * n2
-                             + sc(b0 + 2) * na) * inv
-                total = total + 0.5 * ce * sc(b0 + 3)
-            shade = 0.5 + total * (1.0 - shadow)
-            r = jnp.clip(r * shade, 0.0, 1.0)
-            g = jnp.clip(g * shade, 0.0, 1.0)
-            b = jnp.clip(b * shade, 0.0, 1.0)
-            nu1, nu2, nua = n1 * inv, n2 * inv, na * inv
-            ncx = jnp.clip(
-                sc(S_W00) * nu1 + sc(S_W01) * nu2 + sc(S_W02) * nua,
-                0.0, 1.0)
-            ncy = jnp.clip(
-                sc(S_W10) * nu1 + sc(S_W11) * nu2 + sc(S_W12) * nua,
-                0.0, 1.0)
-            ncz = jnp.clip(
-                sc(S_W20) * nu1 + sc(S_W21) * nu2 + sc(S_W22) * nua,
-                0.0, 1.0)
+                wc = _interp_w(vc, n_c)  # (CC, Nc)
+                smp = _dot(t1, wc, bf16, trans_b=True)  # (R, CC)
 
-        trans = out_ref[7, :, cs]
-        aw = trans * a
-        out_ref[0, :, cs] += aw * r
-        out_ref[1, :, cs] += aw * g
-        out_ref[2, :, cs] += aw * b
-        if mode >= 1:
-            out_ref[3, :, cs] += aw * ncx
-            out_ref[4, :, cs] += aw * ncy
-            out_ref[5, :, cs] += aw * ncz
-            prev_s[:, cs] = smp
-        out_ref[6, :, cs] += aw * (lam * speed)
-        out_ref[7, :, cs] = trans * (1.0 - a)
+            # exact per-pixel plane/ray interval overlap (inline slab test)
+            d1 = jnp.where(ortho, sc(S_DW1), pgc)
+            o1 = jnp.where(ortho, pgc, sc(S_EW1))
+            l1, h1 = axis_rng(o1, d1, sc(S_CLO1), sc(S_CEX1))  # (128,)
+            l_in = jnp.maximum(
+                jnp.maximum(jnp.maximum(l1[None, :], l2[:, None]), la), 0.0)
+            exit_t = jnp.minimum(jnp.minimum(h1[None, :], h2[:, None]), ha)
+            l_out = jnp.maximum(exit_t, l_in)
+            pp = jnp.broadcast_to(pgc[None, :], (r_tile, col_chunk))
+            qq = jnp.broadcast_to(qg[:, None], (r_tile, col_chunk))
+            speed = jnp.where(ortho, 1.0,
+                              jnp.sqrt(pp * pp + qq * qq + 1.0))
+            seg_lo = jnp.maximum(lam - sc(S_HALF), l_in)
+            seg_hi = jnp.minimum(lam + sc(S_HALF), l_out)
+            dt_w = jnp.maximum(seg_hi - seg_lo, 0.0) * speed
+
+            # classify per 128-lane sub-chunk: value -> two-tap lookup
+            v = jnp.clip((smp - sc(S_VLO)) * sc(S_VSCALE), 0.0, 1.0)
+            cc = v * (n_orig - 1)
+            i0_f = jnp.clip(jnp.floor(cc), 0.0, n_orig - 1.0)
+            f = cc - i0_f
+            parts = {0: [], 1: [], 2: [], 3: []}
+            for u in range(col_chunk // CHUNK):
+                sl = slice(u * CHUNK, (u + 1) * CHUNK)
+                i0 = i0_f[:, sl].astype(jnp.int32)
+                i1 = jnp.minimum(i0 + 1, n_orig - 1)
+                fw = f[:, sl]
+                for ch in range(4):
+                    lo_v = _tf_gather(tab_ref, ch, i0, n_chunks)
+                    hi_v = _tf_gather(tab_ref, ch, i1, n_chunks)
+                    parts[ch].append(lo_v * (1.0 - fw) + hi_v * fw)
+
+            def cat(xs):
+                return xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=1)
+
+            r = jnp.clip(cat(parts[0]), 0.0, 1.0)
+            g = jnp.clip(cat(parts[1]), 0.0, 1.0)
+            b = jnp.clip(cat(parts[2]), 0.0, 1.0)
+            a_raw = cat(parts[3])
+
+            # opacity correction 1 - (1-a)^(base*dt), nearly_equal skip
+            k = sc(S_BASE) * dt_w
+            a_c = jnp.clip(a_raw, 0.0, 1.0 - 1e-7)
+            a = jnp.clip(1.0 - jnp.exp(k * jnp.log1p(-a_c)), 0.0, 1.0)
+            a = jnp.where(jnp.abs(k - 1.0) < 1e-7,
+                          jnp.clip(a_raw, 0.0, 1.0), a)
+            a = jnp.where(dt_w > 0.0, a, 0.0)
+            a = jnp.minimum(a, 1.0 - 1e-6)  # over_scan's A_MAX
+
+            if mode >= 1:
+                # analytic bilinear-derivative gradient (world units)
+                if win_c:
+                    dwc = _interp_dw(vc_loc, win_c)
+                    g1 = _dot_t(t1w, dwc, bf16) * (n_c / sc(S_EX1))
+                    g2w_ = g2_scr[pl.dslice(c0, win_c), :]
+                    g2 = _dot_t(g2w_, wc, bf16) * (n_r / sc(S_EX2))
+                else:
+                    dwc = _interp_dw(vc, n_c)
+                    g1 = _dot(t1, dwc, bf16,
+                              trans_b=True) * (n_c / sc(S_EX1))
+                    g2 = _dot(g2row, wc, bf16,
+                              trans_b=True) * (n_r / sc(S_EX2))
+                ds = jnp.where(j > 0, (smp - prev_s[:, cs]) / sc(S_DZDLAM),
+                               0.0)
+                k1 = jnp.where(ortho, sc(S_K1O), pp)
+                k2 = jnp.where(ortho, sc(S_K2O), qq)
+                ga = (ds - g1 * k1 - g2 * k2) * sc(S_INVDA)
+                n1, n2, na = -g1, -g2, -ga
+                inv = jax.lax.rsqrt(n1 * n1 + n2 * n2 + na * na + 1e-12)
+                cos_nl = jnp.abs(sc(S_LD1) * n1 + sc(S_LD2) * n2
+                                 + sc(S_LDA) * na) * inv
+                if mode == 2:
+                    lvc = jnp.clip(
+                        (x1 - sc(S_GLO1)) / sc(S_GEX1) * l_c - 0.5,
+                        0.0, l_c - 1.0)
+                    sh = _dot(lt, _interp_w(lvc, l_c), bf16, trans_b=True)
+                    shadow = jnp.clip(sh, 0.0, 1.0)
+                else:
+                    shadow = 0.0
+                # total = primary (x0.5, intensity 2 folded) + extra dir
+                # lights (integrator._march_step's shade formula)
+                total = cos_nl
+                for i in range(n_extra):
+                    b0 = S_EL0 + 4 * i
+                    ce = jnp.abs(sc(b0) * n1 + sc(b0 + 1) * n2
+                                 + sc(b0 + 2) * na) * inv
+                    total = total + 0.5 * ce * sc(b0 + 3)
+                shade = 0.5 + total * (1.0 - shadow)
+                r = jnp.clip(r * shade, 0.0, 1.0)
+                g = jnp.clip(g * shade, 0.0, 1.0)
+                b = jnp.clip(b * shade, 0.0, 1.0)
+                nu1, nu2, nua = n1 * inv, n2 * inv, na * inv
+                ncx = jnp.clip(
+                    sc(S_W00) * nu1 + sc(S_W01) * nu2 + sc(S_W02) * nua,
+                    0.0, 1.0)
+                ncy = jnp.clip(
+                    sc(S_W10) * nu1 + sc(S_W11) * nu2 + sc(S_W12) * nua,
+                    0.0, 1.0)
+                ncz = jnp.clip(
+                    sc(S_W20) * nu1 + sc(S_W21) * nu2 + sc(S_W22) * nua,
+                    0.0, 1.0)
+
+            trans = out_ref[7, :, cs]
+            aw = trans * a
+            out_ref[0, :, cs] += aw * r
+            out_ref[1, :, cs] += aw * g
+            out_ref[2, :, cs] += aw * b
+            if mode >= 1:
+                out_ref[3, :, cs] += aw * ncx
+                out_ref[4, :, cs] += aw * ncy
+                out_ref[5, :, cs] += aw * ncz
+                prev_s[:, cs] = smp
+            out_ref[6, :, cs] += aw * (lam * speed)
+            trans_next = trans * (1.0 - a)
+            out_ref[7, :, cs] = trans_next
+            if term:
+                # a ray still matters if it is unsaturated AND its box exit
+                # lies ahead of this (front-to-back) plane
+                any_alive = any_alive | jnp.any(
+                    (trans_next > T_EPS) & (exit_t > lam))
+
+        if term:
+            alive_ref[0, 0] = any_alive.astype(jnp.int32)
 
     @pl.when(j == n_slices - 1)
     def _emit():
         out_ref[7, :, :] = 1.0 - out_ref[7, :, :]
 
 
-def _window_offsets(scalars, pg, qg_p, k0, n_slices, n_r, r_tile, win):
+def _window_offsets(scalars, pg, qg_p, k0, n_slices, n_r, r_tile, win, sub):
     """Per-(row tile, slice) source-row window offsets (T, S) int32 in
-    units of 8 rows: floor(min over the tile's rows of vr) - 1, clamped so
-    the static-width window stays inside [0, n_r)."""
+    units of `sub` rows: floor(min over the tile's rows of vr) - 1, clamped
+    so the static-width window stays inside [0, n_r)."""
     del pg, k0
     t = qg_p.shape[0] // r_tile
     dt = qg_p.dtype
@@ -412,8 +475,8 @@ def _window_offsets(scalars, pg, qg_p, k0, n_slices, n_r, r_tile, win):
                         0.0, n_r - 1.0)
 
     lo = jnp.minimum(vr_of(qa), vr_of(qb))
-    w0 = (jnp.floor(lo).astype(jnp.int32) - 1) // 8
-    return jnp.clip(w0, 0, max(n_r - win, 0) // 8)
+    w0 = (jnp.floor(lo).astype(jnp.int32) - 1) // sub
+    return jnp.clip(w0, 0, max(n_r - win, 0) // sub)
 
 
 def _col_offsets(scalars, pg_p, n_slices, n_c, cc, win_c):
@@ -440,20 +503,98 @@ def _col_offsets(scalars, pg_p, n_slices, n_c, cc, win_c):
     return jnp.clip(c0, 0, max(n_c - win_c, 0) // 8)
 
 
+def _active_slices(maj_v, k0, w0s, n_r, win, sub, mode, eps=1.19e-7):
+    """Per-(tile, slice) activity from the traversal-ordered macrocell
+    majorant grid maj_v (MA, MR, MC): is any majorant > eps inside the
+    tile's source-row window of the slice's slab pair?
+
+    Semantics match the reference's DDA skip (`accel/spatial_partition.h:
+    56-96`): a slice whose covering macrocells all have zero majorant
+    classifies to zero opacity everywhere in the tile, so skipping it is
+    exact. Mode >= 1 dilates activity one slice backward so the axial
+    finite-difference term (prev_s) is always computed from the adjacent
+    plane. Returns active (T, S) bool.
+    """
+    ma, mr, _ = maj_v.shape
+    m2 = maj_v.max(axis=2)  # (MA, MR) — conservative over all columns
+    # slab pair (k0, k0+1) can straddle two a-cells
+    m2 = jnp.maximum(m2, jnp.concatenate([m2[1:], m2[-1:]], 0))
+    # sliding max over the r-cells a row window can cover
+    nrc = min(win // MC + 1 + (1 if sub > MC else 0), mr)
+    m3 = jax.lax.reduce_window(
+        m2, -jnp.inf, jax.lax.max, window_dimensions=(1, nrc),
+        window_strides=(1, 1), padding=((0, 0), (0, nrc - 1)))  # (MA, MR)
+    a0 = jnp.clip(k0 // MC, 0, ma - 1)  # (S,)
+    rc0 = jnp.clip((w0s * sub) // MC, 0, mr - 1)  # (T, S)
+    idx = a0[None, :] * mr + rc0
+    active = jnp.take(m3.reshape(-1), idx) > eps  # (T, S)
+    if mode >= 1:
+        # include each active slice's predecessor (zero-alpha, but its
+        # sample field feeds the axial FD of the next plane)
+        nxt = jnp.concatenate(
+            [active[:, 1:], jnp.zeros_like(active[:, :1])], 1)
+        active = active | nxt
+    return active
+
+
+def _compact_schedule(active):
+    """Compact a (T, S) activity mask into (jf (T, S) int32, n_act (T,)):
+    ascending active slice indices first, then the last active index
+    repeated (so trailing grid steps keep identical block indices and
+    Pallas elides their DMA)."""
+    t, s = active.shape
+    order = jnp.argsort(jnp.logical_not(active).astype(jnp.int32), axis=1,
+                        stable=True)  # (T, S) active indices first, sorted
+    n_act = active.sum(axis=1).astype(jnp.int32)  # (T,)
+    last = jnp.take_along_axis(
+        order, jnp.maximum(n_act - 1, 0)[:, None], axis=1)  # (T, 1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (t, s), 1)
+    jf = jnp.where(pos < n_act[:, None], order, last)
+    return jf.astype(jnp.int32), n_act
+
+
+def _storage_plan(grid_v, n_r, n_c, bf16, win_r):
+    """Pick the streamed dtype + sublane granule for the volume's storage
+    dtype, falling back to bfloat16 when integer tiling constraints do not
+    hold (`array.h:68-106` native normalized-int residency)."""
+    dt = grid_v.dtype
+    win = win_r if win_r else n_r
+
+    def ok(s):
+        return n_r % s == 0 and (not win_r or win_r % s == 0)
+
+    if dt == jnp.uint8 and ok(32):
+        return jnp.uint8, 32
+    if dt == jnp.uint16 and ok(16):
+        return jnp.uint16, 16
+    if dt == jnp.bfloat16 or (dt in (jnp.uint8, jnp.uint16) and ok(16)):
+        return jnp.bfloat16, 16
+    if bf16 and ok(16):
+        return jnp.bfloat16, 16
+    return jnp.float32, 8
+
+
+from ovr_tpu.core.sampling import storage_scale  # noqa: E402
+
+
 def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
                            n_slices: int, mode: int = 0, lgrid=None,
                            k0l=None, interpret=None, r_tile: int = 256,
                            win_r: int = 0, bf16: bool = False,
                            n_extra: int = 0, win_c: int = 0,
-                           col_chunk: int = 0):
+                           col_chunk: int = 0, majorant_v=None,
+                           term: bool = True):
     """Run the fused slice loop. grid_v (A, Nr, Nc) traversal-ordered
-    volume; rgba_tab (K, 4) merged nodal table; scalars (N_SCALARS,) f32
-    (S_* layout); pg (Wi,), qg (Hi,); k0 (n_slices,) int32 slab indices
-    (clip(floor(c), 0, A-2)); mode 0/1/2 = none/diffuse/shadow; lgrid
-    (La, Lr, Lc) traversal-ordered shadow lattice + its k0l for mode 2.
-    `r_tile` rows of the ray fan per grid tile; `win_r` (0 = all Nr) is the
-    static source-row window each tile reads per slice — must cover the
-    worst-case row span of r_tile fan rows (resolve_static sizes it).
+    volume (float32, bfloat16, uint8 or uint16 — integer slabs stream
+    natively and normalize in-kernel); rgba_tab (K, 4) merged nodal table;
+    scalars (N_SCALARS,) f32 (S_* layout); pg (Wi,), qg (Hi,); k0
+    (n_slices,) int32 slab indices (clip(floor(c), 0, A-2)); mode 0/1/2 =
+    none/diffuse/shadow; lgrid (La, Lr, Lc) traversal-ordered shadow
+    lattice + its k0l for mode 2. `r_tile` rows of the ray fan per grid
+    tile; `win_r` (0 = all Nr) is the static source-row window each tile
+    reads per slice. `majorant_v` (MA, MR, MC): traversal-ordered
+    macrocell majorants enabling per-(tile, slice) empty-slice skipping;
+    `term` enables early ray termination (alpha >= 0.9999 + box exit).
     Returns (8, Hi, Wi): premultiplied r, g, b, grad_cam xyz, depth, alpha.
     """
     if interpret is None:
@@ -487,13 +628,24 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
     hi_p = hi_i + pad_h
     n_tiles = hi_p // r_tile
 
+    vdt, sub = _storage_plan(grid_v, n_r, n_c, bf16, win_r)
+    gs = storage_scale(grid_v.dtype)
     win = min(win_r, n_r) if win_r else n_r
     sc_f = scalars.astype(jnp.float32)
+    sc_f = sc_f.at[S_GS].set(jnp.float32(gs))
     w0s = _window_offsets(sc_f, pg_p, qg_p.astype(jnp.float32),
-                          k0, n_slices, n_r, r_tile, win)
+                          k0, n_slices, n_r, r_tile, win, sub)
 
-    vdt = jnp.bfloat16 if bf16 else jnp.float32
-    grid_hbm = grid_v.astype(vdt)
+    if majorant_v is not None:
+        active = _active_slices(majorant_v, k0, w0s, n_r, win, sub, mode)
+        jfc, n_act = _compact_schedule(active)
+    else:
+        jfc = jnp.broadcast_to(
+            jnp.arange(n_slices, dtype=jnp.int32)[None, :],
+            (n_tiles, n_slices))
+        n_act = jnp.full((n_tiles,), n_slices, jnp.int32)
+
+    grid_hbm = grid_v if grid_v.dtype == vdt else grid_v.astype(vdt)
     paired = win < n_r
     if paired:
         # block-pair streaming: slab rows arrive as two consecutive
@@ -504,7 +656,7 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
             grid_hbm = jnp.concatenate(
                 [grid_hbm,
                  jnp.repeat(grid_hbm[:, -1:, :], pad_rows, axis=1)], axis=1)
-        wb = (w0s * 8) // win
+        wb = (w0s * sub) // win
     else:
         wb = jnp.zeros_like(w0s)
 
@@ -513,15 +665,18 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
     else:
         win_c = 0
         # column chunk: full fan width unless the per-chunk interpolation
-        # weights (wc, + dwc when shaded) would blow VMEM (~3 MB cap)
+        # weights (wc, + dwc when shaded) would blow VMEM (shaded kernels
+        # keep a bigger live set, so their chunk budget is tighter — this
+        # is what lets r_tile stay 64 at the 1024^3 scale)
         w_mult = 2 if mode >= 1 else 1
+        cap = (3 << 20) if mode == 0 else (1 << 20)
         m = wi_p // LANES
         cc = wi_p
         for k in range(m, 0, -1):
             if m % k:
                 continue
             cc = k * LANES
-            if cc * n_c * 4 * w_mult <= (3 << 20):
+            if cc * n_c * 4 * w_mult <= cap:
                 break
     if win_c:
         c0s = _col_offsets(sc_f, pg_p.astype(jnp.float32), n_slices, n_c,
@@ -533,67 +688,80 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
         _kernel, n_r=n_r, n_c=n_c, n_orig=n_orig, n_chunks=n_chunks,
         r_tile=r_tile, wi_p=wi_p, win=win, mode=mode, l_r=l_r, l_c=l_c,
         bf16=bf16, paired=paired, col_chunk=cc, n_extra=n_extra,
-        win_c=win_c)
+        win_c=win_c, sub=sub, term=term)
+    # index maps dereference the compacted schedule: block indices for
+    # grid step (t, j) come from slice jf[t, j]; steps past n_act repeat
+    # the last active slice, so their blocks are already resident and the
+    # pipeline skips the copy.
     if paired:
         vol_specs = [
             pl.BlockSpec((1, win, n_c),
-                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (
-                             k0_[j], wb_[t, j], 0),
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_, jf_, na_: (
+                             k0_[jf_[t, j]], wb_[t, jf_[t, j]], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, win, n_c),
-                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (
-                             k0_[j], wb_[t, j] + 1, 0),
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_, jf_, na_: (
+                             k0_[jf_[t, j]], wb_[t, jf_[t, j]] + 1, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, win, n_c),
-                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (
-                             k0_[j] + 1, wb_[t, j], 0),
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_, jf_, na_: (
+                             k0_[jf_[t, j]] + 1, wb_[t, jf_[t, j]], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, win, n_c),
-                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (
-                             k0_[j] + 1, wb_[t, j] + 1, 0),
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_, jf_, na_: (
+                             k0_[jf_[t, j]] + 1, wb_[t, jf_[t, j]] + 1, 0),
                          memory_space=pltpu.VMEM),
         ]
     else:
-        stub = pl.BlockSpec((1, min(8, n_r), min(128, n_c)),
-                            lambda t, j, k0_, kl_, w0_, wb_, c0_: (0, 0, 0),
+        stub_r = min(max(8, sub), n_r)
+        stub = pl.BlockSpec((1, stub_r, min(128, n_c)),
+                            lambda t, j, k0_, kl_, w0_, wb_, c0_, jf_, na_:
+                            (0, 0, 0),
                             memory_space=pltpu.VMEM)
         vol_specs = [
             pl.BlockSpec((1, n_r, n_c),
-                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (k0_[j], 0, 0),
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_, jf_, na_: (
+                             k0_[jf_[t, j]], 0, 0),
                          memory_space=pltpu.VMEM),
             stub,
             pl.BlockSpec((1, n_r, n_c),
-                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (
-                             k0_[j] + 1, 0, 0),
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_, jf_, na_: (
+                             k0_[jf_[t, j]] + 1, 0, 0),
                          memory_space=pltpu.VMEM),
             stub,
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=7,
         grid=(n_tiles, n_slices),
         in_specs=vol_specs + [
             pl.BlockSpec((1, l_r, l_c),
-                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (kl_[j], 0, 0),
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_, jf_, na_: (
+                             kl_[jf_[t, j]], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, l_r, l_c),
-                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (
-                             jnp.minimum(kl_[j] + 1, l_a - 1), 0, 0),
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_, jf_, na_: (
+                             jnp.minimum(kl_[jf_[t, j]] + 1, l_a - 1), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, wi_p),
-                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (0, 0),
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_, jf_, na_: (
+                             0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r_tile, 1),
-                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (t, 0),
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_, jf_, na_: (
+                             t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, n_chunks, 1, CHUNK),
-                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (0, 0, 0, 0),
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_, jf_, na_: (
+                             0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N_SCALARS),
-                         lambda t, j, k0_, kl_, w0_, wb_, c0_: (0, 0),
+                         lambda t, j, k0_, kl_, w0_, wb_, c0_, jf_, na_: (
+                             0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((8, r_tile, wi_p),
-                               lambda t, j, k0_, kl_, w0_, wb_, c0_: (0, t, 0),
+                               lambda t, j, k0_, kl_, w0_, wb_, c0_, jf_,
+                               na_: (0, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((r_tile, wi_p) if mode >= 1 else (8, 8),
@@ -601,6 +769,7 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
             pltpu.VMEM((n_c, r_tile) if win_c else (8, 8), jnp.float32),
             pltpu.VMEM((n_c, r_tile) if (win_c and mode >= 1) else (8, 8),
                        jnp.float32),
+            pltpu.SMEM((1, 1), jnp.int32),
         ],
     )
     out = pl.pallas_call(
@@ -608,8 +777,8 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((8, hi_p, wi_p), jnp.float32),
         interpret=interpret,
-    )(k0.astype(jnp.int32), k0l.astype(jnp.int32), w0s, wb, c0s,
-      grid_hbm, grid_hbm, grid_hbm, grid_hbm,
+    )(k0.astype(jnp.int32), k0l.astype(jnp.int32), w0s, wb, c0s, jfc,
+      n_act, grid_hbm, grid_hbm, grid_hbm, grid_hbm,
       lgrid.astype(jnp.float32), lgrid.astype(jnp.float32),
       pg_p.astype(jnp.float32).reshape(1, wi_p),
       qg_p.astype(jnp.float32).reshape(r_tile * n_tiles, 1), tab,

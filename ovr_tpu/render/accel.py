@@ -101,8 +101,13 @@ def compute_value_ranges(grid: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-macrocell (lo, hi) over an 18-voxel window at stride 16.
 
     Semantics of `value_range_kernel` (`sp_singlemc.cu:10-54`) with the
-    symmetric trilinear halo (see module docstring).
+    symmetric trilinear halo (see module docstring). Native-dtype (u8/u16)
+    grids reduce in raw units — no f32 expansion of the volume — and the
+    normalized-integer scale (`array.h:68-106`) is applied to the tiny
+    per-cell results.
     """
+    from ovr_tpu.core.sampling import storage_scale
+
     Zd, Yd, Xd = grid.shape
     mc = tuple(_cdiv(d, MACROCELL_SIZE) for d in (Zd, Yd, Xd))
     window = MACROCELL_SIZE + 2
@@ -110,19 +115,27 @@ def compute_value_ranges(grid: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         (1, (m - 1) * MACROCELL_SIZE + window - 1 - d)
         for m, d in zip(mc, (Zd, Yd, Xd))
     )
+    d = np.dtype(grid.dtype)
+    if d.kind in ("u", "i"):
+        init_hi = jnp.asarray(np.iinfo(d).min, grid.dtype)
+        init_lo = jnp.asarray(np.iinfo(d).max, grid.dtype)
+    else:
+        init_hi = jnp.asarray(-jnp.inf, grid.dtype)
+        init_lo = jnp.asarray(jnp.inf, grid.dtype)
     hi = jax.lax.reduce_window(
-        grid, -jnp.inf, jax.lax.max,
+        grid, init_hi, jax.lax.max,
         window_dimensions=(window,) * 3,
         window_strides=(MACROCELL_SIZE,) * 3,
         padding=pads,
     )
     lo = jax.lax.reduce_window(
-        grid, jnp.inf, jax.lax.min,
+        grid, init_lo, jax.lax.min,
         window_dimensions=(window,) * 3,
         window_strides=(MACROCELL_SIZE,) * 3,
         padding=pads,
     )
-    return lo, hi
+    s = storage_scale(grid.dtype)
+    return lo.astype(jnp.float32) * s, hi.astype(jnp.float32) * s
 
 
 def _range_max_table(alpha: jnp.ndarray) -> list[jnp.ndarray]:

@@ -24,14 +24,38 @@ from ovr_tpu.core.sampling import intersect_box
 from ovr_tpu.render import integrator as ig
 
 
-def _march_one(org, direction, vol, tfn, ctx_base, cfg, mcfg, step):
+def _march_one(org, direction, vol, tfn, ctx_base, cfg, mcfg, step,
+               xfm=None):
     """March one volume; returns premultiplied (color, grad, depth, alpha)
-    plus per-ray entry distance (inf where the box is missed)."""
+    plus per-ray entry distance (inf where the box is missed).
+
+    `xfm`: optional (3, 4) object-to-world affine placing the instance
+    (`ovr/devices/optix7/volume.cpp:25-40`). Rays transform world->object
+    with the direction unnormalized so t (and step lengths, depth) stay in
+    world units; the light direction and the world->camera rows transform
+    into object space so the shaded normal matches the world-space one
+    (exact for rotations; the normalization denominator differs slightly
+    under anisotropic scale)."""
     leaves = (vol.grid if hasattr(vol, "grid") else vol, tfn.color,
               tfn.alpha, tfn.value_range,
               cfg.base_rate * jnp.ones((), cfg.dtype))
     ctx = dataclasses.replace(ctx_base, world_lo=vol.world_lo,
                               world_hi=vol.world_hi, light_alpha=None)
+    if xfm is not None:
+        from ovr_tpu.core.sampling import safe_normalize
+        from ovr_tpu.render.geometry import _rays_to_object, xfm_apply
+        org, direction, inv = _rays_to_object(xfm, org, direction)
+        a_inv = inv[:, :3]
+        # n_w.l_w = n_o.(A^-1 l_w); ncam = (wtc A^-T) n_o
+        updates = dict(
+            light_dir=safe_normalize(a_inv @ ctx.light_dir),
+            wtc=ctx.wtc @ a_inv.T)
+        if getattr(ctx, "extra_dirs", None) is not None:
+            updates["extra_dirs"] = jnp.einsum(
+                "ij,kj->ki", a_inv, ctx.extra_dirs)
+        if getattr(ctx, "point_pos", None) is not None:
+            updates["point_pos"] = xfm_apply(inv, ctx.point_pos)
+        ctx = dataclasses.replace(ctx, **updates)
     march_fn = ig.march_while if cfg.fast_math else ig.march
     color, grad, depth, alpha = march_fn(org, direction, leaves, ctx, mcfg,
                                          step)
@@ -70,11 +94,12 @@ def march_instances(scene, org, direction, ctx_base, cfg, mcfg, step):
     """March the scene's primary volume + every VolumeInstance and
     composite in per-pixel depth order. Returns premultiplied
     (color, grad, depth, alpha) like `integrator.march`."""
-    vols = [(scene.volume, scene.tfn)] + [
-        (inst.volume, inst.tfn) for inst in scene.instances]
+    vols = [(scene.volume, scene.tfn, None)] + [
+        (inst.volume, inst.tfn, getattr(inst, "xfm", None))
+        for inst in scene.instances]
     parts = [
-        _march_one(org, direction, v, t, ctx_base, cfg, mcfg, step)
-        for v, t in vols]
+        _march_one(org, direction, v, t, ctx_base, cfg, mcfg, step, xfm=x)
+        for v, t, x in vols]
 
     # odd-even transposition network: K passes order K partials
     k = len(parts)

@@ -90,6 +90,9 @@ class SwStatic:
     # column-resample matmul from Nc to ~win_c MACs per output.
     win_c: int = 0
     col_chunk: int = 0  # fan columns per windowed chunk (0 = adaptive)
+    # early ray termination in the fused kernel (alpha >= 0.9999 + box
+    # exit, `shaders_raymarching.cu:110`); forced off under differentiation
+    term: bool = True
 
 
 def _np_basis(camera, width, height):
@@ -211,17 +214,29 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
     q_span = (q.max() - q.min()) * 1.02 + 2e-6
     p_span = (p.max() - p.min()) * 1.02 + 2e-6
     b_max = n_r / ex2 * (q_span / hi_i) * lam_f
+    # storage sublane granule: window offsets/sizes must align to the
+    # streamed dtype's VMEM tiling (f32 8, bf16/u16 16, u8 32 rows)
+    gdt = vol.grid.dtype
+    import jax.numpy as _jnp
+    if gdt == _jnp.uint8:
+        sub_g, vbytes = 32, 1
+    elif gdt in (_jnp.uint16, _jnp.bfloat16):
+        sub_g, vbytes = 16, 2
+    elif cfg.sw_bf16:
+        sub_g, vbytes = 16, 2
+    else:
+        sub_g, vbytes = 8, 4
+    rnds = lambda x: int(-(-x // sub_g) * sub_g)
     # pick the largest row tile whose kernel working set fits VMEM:
     # double-buffered out block + prev_s scratch + the slab row windows
     # (block-pair streamed when the window is smaller than the plane —
     # the 1024^3-class path where HBM traffic scales with the window)
     n_c_plane = dims_xyz[w1]
-    vbytes = 2 if cfg.sw_bf16 else 4
     budget = 15 * (1 << 20)  # r_tile=64 at a 2048-wide fan compiles; 128 not
     r_tile = win_r = None
     for rt in (256, 128, 64, 32):
         rt_c = min(rt, rnd(hi_i))
-        win_c = rnd(int(np.ceil(1.25 * b_max * rt_c)) + 24)
+        win_c = rnds(int(np.ceil(1.25 * b_max * rt_c)) + 3 * sub_g)
         win_c = min(win_c, n_r)
         vol_bytes = (2 * 4 * win_c * n_c_plane * vbytes if win_c < n_r
                      else 2 * 2 * n_r * n_c_plane * vbytes)
@@ -232,13 +247,15 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
     # mode-aware caps, calibrated by compile-probing on v5e (16 MB VMEM):
     # the shaded kernels keep a larger live set per (row, lane) — shadow
     # at 256-scale needs r_tile <= 128; diffuse/shadow at the wide-fan
-    # 1024-scale need r_tile <= 32 (rt64 diffuse OOMs by <1 MB)
+    # 1024-scale need r_tile <= 32 at f32 slabs (rt64 diffuse OOMs by
+    # <1 MB); compact slabs (bf16/u8/u16) free enough VMEM for rt64
     big = wi >= 1024 or n_c_plane >= 512
+    big_cap = 64 if vbytes <= 2 else 32
     if cfg.shading == "shadow":
-        r_tile = min(r_tile, 32 if big else 128)
+        r_tile = min(r_tile, big_cap if big else 128)
     elif cfg.shading != "none" and big:
-        r_tile = min(r_tile, 32)
-    win_r = rnd(int(np.ceil(1.25 * b_max * r_tile)) + 24)
+        r_tile = min(r_tile, big_cap)
+    win_r = rnds(int(np.ceil(1.25 * b_max * r_tile)) + 3 * sub_g)
     if win_r >= n_r:
         win_r = 0
     # column-window the resample contraction per 128-lane chunk when the
@@ -258,7 +275,8 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
                     inter_h=hi_i, inter_w=wi, swap=swap,
                     separable=separable, bf16=bool(cfg.sw_bf16),
                     pallas=pallas, r_tile=r_tile, win_r=win_r,
-                    win_c=wcol, col_chunk=col_chunk)
+                    win_c=wcol, col_chunk=col_chunk,
+                    term=bool(getattr(cfg, "sw_term", True)))
 
 
 # ---------------------------------------------------------------------------
@@ -438,8 +456,25 @@ def _kernel_scalars(dt, *, lo1, ex1, lo2, ex2, e1, e2, dw1, dw2, half, dz,
             vals += [eld[i, 0], eld[i, 1], eld[i, 2], eli[i]]
         else:
             vals += [z, z, z, z]
+    # spare slots (S_GS storage scale is filled by slice_composite_pallas)
+    vals += [z] * (swslice.N_SCALARS - len(vals))
     assert len(vals) == swslice.N_SCALARS
     return jnp.stack([jnp.asarray(x, dt) for x in vals])
+
+
+def _run_fused(sw, params, n_s, mode, term):
+    """Invoke the fused kernel with the plan's tiling + skip settings."""
+    from ovr_tpu.ops import swslice
+    return swslice.slice_composite_pallas(
+        params["grid"], params["tab"], params["sc"], params["pg"],
+        params["qg"], params["k0f"].astype(jnp.int32), n_s, mode=mode,
+        lgrid=params.get("lgrid"),
+        k0l=(params["k0lf"].astype(jnp.int32)
+             if "lgrid" in params else None),
+        r_tile=sw.r_tile, win_r=sw.win_r, bf16=sw.bf16,
+        n_extra=(params["eld"].shape[0] if "eld" in params else 0),
+        win_c=sw.win_c, col_chunk=sw.col_chunk,
+        majorant_v=params.get("maj"), term=(term and sw.term))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -447,17 +482,16 @@ def _fused_none(f, n_s, st, params):
     """Unshaded slice loop: forward = the fused Pallas kernel
     (ops.swslice, mode 0), backward = recompute through the bounded-memory
     over_scan adjoint on the same step function. Returns (8, Hi, Wi)."""
-    from ovr_tpu.ops import swslice
-    sw = st
-    return swslice.slice_composite_pallas(
-        params["grid"], params["tab"], params["sc"], params["pg"],
-        params["qg"], params["k0f"].astype(jnp.int32), n_s, mode=0,
-        r_tile=sw.r_tile, win_r=sw.win_r, bf16=sw.bf16,
-        win_c=sw.win_c, col_chunk=sw.col_chunk)
+    return _run_fused(st, params, n_s, 0, True)
 
 
 def _fused_none_fwd(f, n_s, st, params):
-    return _fused_none(f, n_s, st, params), params
+    # under differentiation the forward runs WITHOUT early termination:
+    # the adjoint reconstructs T_k backwards from t_final by dividing out
+    # (1 - a_k) for every recomputed step, so a truncated forward would
+    # corrupt every reconstructed T (macrocell slice-skipping is exact —
+    # skipped slices classify to zero alpha — and stays on)
+    return _run_fused(st, params, n_s, 0, False), params
 
 
 def _fused_none_bwd(f, n_s, st, params, cot):
@@ -502,13 +536,14 @@ def _plane_fields(st, P, lam_j, k0_j, fz_j, want_grad=True):
     """Resample one slice plane of the shaded loop: returns
     (smp (Hi,Wi), g1, g2, x1 (Wi,), x2 (Hi,)); g1/g2 are the analytic
     bilinear-derivative world gradients (None when want_grad=False)."""
-    from ovr_tpu.ops.swslice import _interp_dw
+    from ovr_tpu.ops.swslice import _interp_dw, storage_scale
     sw, ortho, mode = st
     grid = P["grid"]
     n_a, n_r, n_c = grid.shape
     dt = P["pg"].dtype
     sl = jax.lax.dynamic_slice(grid, (k0_j, 0, 0), (2, n_r, n_c))
-    plane = sl[0] * (1.0 - fz_j) + sl[1] * fz_j
+    # normalized-integer storage scale (`array.h:68-106`)
+    plane = (sl[0] * (1.0 - fz_j) + sl[1] * fz_j) * storage_scale(grid.dtype)
     if ortho:
         x1 = P["pg"] + P["dw1"] * lam_j
         x2 = P["qg"] + P["dw2"] * lam_j
@@ -656,21 +691,26 @@ def _shaded_loop(st, P):
     sw, ortho, mode, n_s, hi_i, wi_i = st
     n_extra = P["eld"].shape[0] if "eld" in P else 0
     if sw.pallas and "pld" not in P and n_extra <= 4:
-        from ovr_tpu.ops import swslice
-        out = swslice.slice_composite_pallas(
-            P["grid"], P["tab"], P["sc"], P["pg"], P["qg"],
-            P["k0f"].astype(jnp.int32), n_s, mode=mode,
-            lgrid=P.get("lgrid"),
-            k0l=P["k0lf"].astype(jnp.int32) if "lgrid" in P else None,
-            r_tile=sw.r_tile, win_r=sw.win_r, bf16=sw.bf16,
-            n_extra=n_extra, win_c=sw.win_c, col_chunk=sw.col_chunk)
+        out = _run_fused(sw, P, n_s, mode, True)
+        return (jnp.moveaxis(out[0:3], 0, -1),
+                jnp.moveaxis(out[3:6], 0, -1), out[6], out[7])
+    return _slices_xla_shaded((sw, ortho, mode), P)
+
+
+def _shaded_fwd_impl(st, P):
+    """Shaded forward under differentiation: early termination off (the
+    adjoint's reverse T reconstruction needs the untruncated t_final)."""
+    sw, ortho, mode, n_s, hi_i, wi_i = st
+    n_extra = P["eld"].shape[0] if "eld" in P else 0
+    if sw.pallas and "pld" not in P and n_extra <= 4:
+        out = _run_fused(sw, P, n_s, mode, False)
         return (jnp.moveaxis(out[0:3], 0, -1),
                 jnp.moveaxis(out[3:6], 0, -1), out[6], out[7])
     return _slices_xla_shaded((sw, ortho, mode), P)
 
 
 def _shaded_loop_fwd(st, P):
-    out = _shaded_loop(st, P)
+    out = _shaded_fwd_impl(st, P)
     return out, (P, 1.0 - out[3])  # params + final transmittance
 
 
@@ -695,7 +735,7 @@ _shaded_loop.defvjp(_shaded_loop_fwd, _shaded_loop_bwd)
 def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
                      row0=None, n_rows=None, sample_box=None, clip_box=None,
                      slice0=None, n_slices_loc=None, fan_only=False,
-                     pt_fields=None):
+                     pt_fields=None, macrocells=None):
     """Render one frame. Returns premultiplied (color (N,3), grad (N,3),
     depth (N,), alpha (N,)) flat screen buffers, matching the march
     integrators' contract (finalize with `integrator.finalize`).
@@ -737,6 +777,17 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
     axis, sign = sw.axis, sw.sign
     w1, w2 = _perp_axes(axis)
     ortho = camera.kind == ORTHOGRAPHIC
+
+    # macrocell majorants (traversal order) drive per-(tile, slice)
+    # empty-slice skipping inside the fused kernel; only valid for the
+    # unbricked TF-classified path (bricks sample a local box; pt_fields
+    # composite sigma, not TF alpha)
+    maj_v = None
+    if (macrocells is not None and sw.pallas and pt_fields is None
+            and sample_box is None and clip_box is None and slice0 is None
+            and getattr(cfg, "sw_skip", True)):
+        maj_v = _volume_view(macrocells.majorant.astype(jnp.float32),
+                             axis, sign)
 
     if pt_fields is not None:
         sig_lat, j_lat = pt_fields
@@ -917,11 +968,13 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
             params["jlat"] = j_view
 
         def f(p, j):
+            from ovr_tpu.ops.swslice import storage_scale
             lam_j = p["lam"][j]
             fz_j = p["fz"][j]
             k0_j = p["k0f"][j].astype(jnp.int32)
             sl = jax.lax.dynamic_slice(p["grid"], (k0_j, 0, 0), (2, n_r, n_c))
-            plane = sl[0] * (1.0 - fz_j) + sl[1] * fz_j
+            plane = ((sl[0] * (1.0 - fz_j) + sl[1] * fz_j)
+                     * storage_scale(p["grid"].dtype))
             if ortho:
                 x1 = p["pg"] + p["dw1"] * lam_j
                 x2 = p["qg"] + p["dw2"] * lam_j
@@ -958,6 +1011,8 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
 
         if sw.pallas and pt_fields is None:
             zdt = jnp.zeros((), dt)
+            if maj_v is not None:
+                params["maj"] = maj_v
             params["sc"] = _kernel_scalars(
                 dt, lo1=lo1, ex1=ex1, lo2=lo2, ex2=ex2, e1=e[w1], e2=e[w2],
                 dw1=direction[w1] if ortho else zdt,
@@ -1017,6 +1072,8 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
         P["fzl"] = jnp.zeros((n_loc,), dt)
         n_la = 2.0
     if sw.pallas:
+        if maj_v is not None:
+            P["maj"] = maj_v
         P["sc"] = _kernel_scalars(
             dt, lo1=lo1, ex1=ex1, lo2=lo2, ex2=ex2, e1=e[w1], e2=e[w2],
             dw1=direction[w1] if ortho else zdt,

@@ -24,8 +24,16 @@ def test_raw_loader_uint8_normalized(tmp_path):
     data = np.arange(8, dtype=np.uint8).reshape(2, 2, 2)
     path = tmp_path / "vol.raw"
     data.tofile(path)
-    grid, _ = raw.load_raw_volume(str(path), (2, 2, 2), "UNSIGNED_BYTE")
-    np.testing.assert_allclose(grid, data.astype(np.float32) / 255.0)
+    # default: native u8 residency (normalized-int texture semantics,
+    # array.h:68-106); value range reported in normalized units
+    grid, vr = raw.load_raw_volume(str(path), (2, 2, 2), "UNSIGNED_BYTE")
+    assert grid.dtype == np.uint8
+    np.testing.assert_array_equal(grid, data)
+    assert abs(vr[1] - 7 / 255.0) < 1e-7
+    # opt-out: eager f32 normalization
+    gridf, _ = raw.load_raw_volume(str(path), (2, 2, 2), "UNSIGNED_BYTE",
+                                   native_dtype=False)
+    np.testing.assert_allclose(gridf, data.astype(np.float32) / 255.0)
 
 
 def test_raw_loader_big_endian_offset(tmp_path):

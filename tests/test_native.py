@@ -52,8 +52,14 @@ def test_native_integrated_in_io(tmp_path, rng):
     data = rng.integers(0, 65535, size=(6, 5, 4), dtype=np.uint16)
     path = tmp_path / "v.raw"
     data.tofile(path)
-    grid, _ = load_raw_volume(str(path), (4, 5, 6), ValueType.UINT16)
+    grid, _ = load_raw_volume(str(path), (4, 5, 6), ValueType.UINT16,
+                              native_dtype=False)
     np.testing.assert_allclose(grid, data.astype(np.float32) / 65535.0)
+    # native residency (default): raw u16 + normalized value range
+    grid_n, vr = load_raw_volume(str(path), (4, 5, 6), ValueType.UINT16)
+    assert grid_n.dtype == np.uint16
+    np.testing.assert_array_equal(grid_n, data)
+    assert abs(vr[1] - data.max() / 65535.0) < 1e-6
 
 
 def test_native_error_on_short_file(tmp_path):

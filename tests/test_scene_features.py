@@ -224,3 +224,93 @@ class TestMultiVolumeShearwarp:
         cfg = api.RenderConfig(method="auto",
                                shading="shadow").resolved(scene)
         assert cfg.sw is None
+
+
+class TestAffineVolumeInstances:
+    """Affine volume placement (`ovr/scene.h:324-327`,
+    `ovr/devices/optix7/volume.cpp:25-40`): VolumeInstance.xfm."""
+
+    def _inst_scene(self, small_grid, xfm, camera, light_dir):
+        # transparent primary (contributes nothing); one visible instance
+        prim = StructuredVolume.create(np.zeros((4, 4, 4), np.float32),
+                                       world_lo=(-9, -9, -9),
+                                       world_hi=(-8, -8, -8))
+        tf0 = TransferFunction.create(np.zeros((4, 3), np.float32),
+                                      np.zeros(4, np.float32), (0.0, 1.0))
+        v = StructuredVolume.create(np.asarray(small_grid, np.float32))
+        tf = TransferFunction.create(
+            np.stack([np.linspace(0, 1, 8), 0.4 * np.ones(8),
+                      np.linspace(1, 0, 8)], -1),
+            np.linspace(0.0, 0.9, 8), (0.0, 1.0))
+        scene = simple_scene(np.zeros((4, 4, 4), np.float32))
+        scene = dataclasses.replace(
+            scene, volume=prim, tfn=tf0, camera=camera,
+            light=dataclasses.replace(scene.light,
+                                      direction=jnp.asarray(
+                                          light_dir, jnp.float32)),
+            instances=(VolumeInstance.create(v, tf, xfm=xfm),))
+        return scene
+
+    @staticmethod
+    def _rot(theta, c=(0.5, 0.5, 0.5)):
+        """(3,4) rotation about the z axis through point c."""
+        ct, st = np.cos(theta), np.sin(theta)
+        r = np.array([[ct, -st, 0.0], [st, ct, 0.0], [0.0, 0.0, 1.0]],
+                     np.float32)
+        c = np.asarray(c, np.float32)
+        t = c - r @ c
+        return np.concatenate([r, t[:, None]], axis=1)
+
+    def test_identity_xfm_matches_no_xfm(self, small_grid):
+        cam = _cam()
+        eye = np.concatenate([np.eye(3, dtype=np.float32),
+                              np.zeros((3, 1), np.float32)], 1)
+        a = _render(self._inst_scene(small_grid, eye, cam, (1, 1, -1)))
+        b = _render(self._inst_scene(small_grid, None, cam, (1, 1, -1)))
+        np.testing.assert_allclose(np.asarray(a.rgba), np.asarray(b.rgba),
+                                   atol=1e-5)
+
+    def test_rotated_instance_equals_rotated_world(self, small_grid):
+        """Rotating the instance == inverse-rotating camera + light (the
+        whole-world rotation identity); exact for rotations."""
+        th = 0.7
+        xfm = self._rot(th)
+        r = xfm[:, :3]
+        cam_a = _cam()
+        a = _render(self._inst_scene(small_grid, xfm, cam_a, (1, 1, -1)),
+                    shading="diffuse", w=48, h=40, rate=32.0)
+
+        c = np.array([0.5, 0.5, 0.5], np.float32)
+        rinv = r.T
+
+        def rot_pt(p):
+            return rinv @ (np.asarray(p, np.float32) - c) + c
+
+        cam_b = Camera.create(from_=rot_pt(cam_a.from_),
+                              at=rot_pt(cam_a.at),
+                              up=rinv @ np.asarray([0, 1, 0], np.float32),
+                              fovy=50.0)
+        ld = rinv @ np.asarray([1, 1, -1], np.float32)
+        b = _render(self._inst_scene(small_grid, None, cam_b, tuple(ld)),
+                    shading="diffuse", w=48, h=40, rate=32.0)
+        np.testing.assert_allclose(np.asarray(a.rgba), np.asarray(b.rgba),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(a.grad), np.asarray(b.grad),
+                                   atol=2e-3)
+
+    def test_translated_instance_matches_moved_box(self, small_grid):
+        t = np.array([0.3, -0.2, 0.1], np.float32)
+        xfm = np.concatenate([np.eye(3, dtype=np.float32), t[:, None]], 1)
+        cam = Camera.create(from_=(0.8, 0.3, -2.4), at=(0.8, 0.3, 0.6),
+                            fovy=50.0)
+        a = _render(self._inst_scene(small_grid, xfm, cam, (1, 1, -1)))
+        sc_b = self._inst_scene(small_grid, None, cam, (1, 1, -1))
+        inst = sc_b.instances[0]
+        vol_b = dataclasses.replace(inst.volume,
+                                    world_lo=inst.volume.world_lo + t,
+                                    world_hi=inst.volume.world_hi + t)
+        sc_b = dataclasses.replace(
+            sc_b, instances=(dataclasses.replace(inst, volume=vol_b),))
+        b = _render(sc_b)
+        np.testing.assert_allclose(np.asarray(a.rgba), np.asarray(b.rgba),
+                                   atol=1e-4)
