@@ -251,6 +251,9 @@ select,button{width:100%;margin:2px 0;background:#333;color:#ddd;border:1px soli
   <canvas id="tfcanvas" width="280" height="142"></canvas>
   <input type="color" id="cpcolor" title="selected color control point">
   <select id="colormap"></select>
+  <h3>Camera</h3>
+  <label>mode (f key): inspect orbit / fly WASDQE</label>
+  <select id="cammode"><option>inspect</option><option>fly</option></select>
   <h3>Render</h3>
   <label>spp <span id="sppv">1</span></label>
   <input type="range" id="spp" min="1" max="8" value="1">
@@ -280,11 +283,11 @@ async function poll(){
     document.getElementById('fps').textContent = s.fps;
     document.getElementById('var').textContent = s.variance==null?'-':s.variance.toExponential(2);
     if(s.frame!==lastFrame){lastFrame=s.frame;img.src='/frame.png?'+s.frame;}
-    if(cam.r===null && s.camera){camFromServer(s.camera);}
+    if(cam.r===null && s.camera && camMode==='inspect'){camFromServer(s.camera);}
   }catch(e){}
   setTimeout(poll,100);
 }
-// ---- camera (inspect manipulator) ----
+// ---- camera (inspect + fly manipulators, GLFWApp.h:107-209) ----
 const cam={at:[0.5,0.5,0.5],r:null,theta:0,phi:0,up:[0,1,0]};
 function camFromServer(c){
   cam.at=c.at;const d=[c.from[0]-c.at[0],c.from[1]-c.at[1],c.from[2]-c.at[2]];
@@ -299,11 +302,44 @@ function pushCam(){
     cam.at[2]+cam.r*st*Math.sin(cam.phi)];
   post({camera:{from:from,at:cam.at,up:cam.up}});
 }
+// fly mode: mouse-look + WASDQE motion (the reference's second
+// CameraFrameManip, extern/glfwapp/GLFWApp.h:107-209)
+let camMode='inspect';
+const fly={eye:null,yaw:0,pitch:0,speed:0.05};
+function enterFly(){
+  if(cam.r===null)return;
+  const st=Math.sin(cam.theta);
+  fly.eye=[cam.at[0]+cam.r*st*Math.cos(cam.phi),
+           cam.at[1]+cam.r*Math.cos(cam.theta),
+           cam.at[2]+cam.r*st*Math.sin(cam.phi)];
+  const d=[cam.at[0]-fly.eye[0],cam.at[1]-fly.eye[1],cam.at[2]-fly.eye[2]];
+  const n=Math.hypot(...d);
+  fly.yaw=Math.atan2(d[2],d[0]);fly.pitch=Math.asin(d[1]/n);
+  fly.speed=cam.r*0.05;
+}
+function flyDir(){const cp=Math.cos(fly.pitch);
+  return [cp*Math.cos(fly.yaw),Math.sin(fly.pitch),cp*Math.sin(fly.yaw)];}
+function pushFly(){const d=flyDir();
+  post({camera:{from:fly.eye.slice(),
+    at:[fly.eye[0]+d[0],fly.eye[1]+d[1],fly.eye[2]+d[2]],up:[0,1,0]}});}
+function setMode(m){
+  camMode=m;document.getElementById('cammode').value=m;
+  if(m==='fly')enterFly();else cam.r=null; /* resync from server */
+}
+document.getElementById('cammode').addEventListener('change',
+  e=>setMode(e.target.value));
 let drag=null;
 img.addEventListener('pointerdown',e=>{drag=[e.clientX,e.clientY,e.shiftKey];img.setPointerCapture(e.pointerId);});
 img.addEventListener('pointermove',e=>{
-  if(!drag||cam.r===null)return;
+  if(!drag)return;
   const dx=e.clientX-drag[0],dy=e.clientY-drag[1];drag=[e.clientX,e.clientY,drag[2]];
+  if(camMode==='fly'){
+    if(fly.eye===null)return;
+    fly.yaw+=dx*0.004;
+    fly.pitch=Math.max(-1.5,Math.min(1.5,fly.pitch-dy*0.004));
+    pushFly();return;
+  }
+  if(cam.r===null)return;
   if(drag[2]){ // pan: move the poi in the view plane
     const s=cam.r*0.002;
     const st=Math.sin(cam.theta);
@@ -317,8 +353,21 @@ img.addEventListener('pointermove',e=>{
   pushCam();
 });
 img.addEventListener('pointerup',()=>drag=null);
-img.addEventListener('wheel',e=>{e.preventDefault();if(cam.r===null)return;
+img.addEventListener('wheel',e=>{e.preventDefault();
+  if(camMode==='fly'){fly.speed*=Math.exp(-e.deltaY*0.001);return;}
+  if(cam.r===null)return;
   cam.r*=Math.exp(e.deltaY*0.001);pushCam();},{passive:false});
+window.addEventListener('keydown',e=>{
+  if(e.key==='f'){setMode(camMode==='fly'?'inspect':'fly');return;}
+  if(camMode!=='fly'||fly.eye===null)return;
+  const d=flyDir();
+  const right=[-Math.sin(fly.yaw),0,Math.cos(fly.yaw)];
+  const mv={w:d,s:d.map(x=>-x),d:right,a:right.map(x=>-x),
+            e:[0,1,0],q:[0,-1,0]}[e.key];
+  if(!mv)return;
+  for(let i=0;i<3;i++)fly.eye[i]+=mv[i]*fly.speed;
+  pushFly();
+});
 // ---- TF editor (alpha curve + color control points, tfn/widget.h) ----
 const tfc=document.getElementById('tfcanvas'),ctx=tfc.getContext('2d');
 const picker=document.getElementById('cpcolor');
@@ -440,7 +489,8 @@ document.getElementById('focus').oninput=e=>{
   document.getElementById('focusv').textContent=s.toFixed(2);
   post({focus:{center:[0.5,0.5],scale:s,base_noise:0.05}});};
 document.getElementById('shot').onclick=()=>fetch('/screenshot');
-window.addEventListener('keydown',e=>{if(e.key==='s')fetch('/screenshot');});
+window.addEventListener('keydown',e=>{
+  if(e.key==='s'&&camMode!=='fly')fetch('/screenshot');});
 fetch('/stats').then(r=>r.json()).then(s=>{});
 drawTF();poll();
 </script></body></html>
@@ -448,6 +498,15 @@ drawTF();poll();
 
 
 def main(argv=None) -> None:
+    # honor JAX_PLATFORMS even when a platform plugin (axon) swallows the
+    # env var: the config route always wins if applied before backend init
+    import os
+
+    import jax as _jax
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        _jax.config.update("jax_platforms", plat)
+
     p = argparse.ArgumentParser("Interactive viewer")
     p.add_argument("scene")
     p.add_argument("--port", type=int, default=8000)

@@ -90,6 +90,15 @@ def main() -> None:
                          intensity=0.5 + 0.1 * i)
             for i in range(n_lights))
         scene = dataclasses.replace(scene, lights=lights)
+    # BENCH_NEURAL=fwd|train (BASELINE config #4): hash-grid MLP volume
+    # rendered through the baked-proxy shear-warp fast path; "train" runs
+    # the full image train step (render + bake + backward to weights)
+    neural = os.environ.get("BENCH_NEURAL", "")
+    if neural:
+        import jax.numpy as jnp
+        from ovr_tpu.neural.field import init_field
+        field = init_field(jax.random.PRNGKey(0), hidden=64, n_hidden=2)
+        scene = dataclasses.replace(scene, volume=field)
     scene = jax.device_put(scene)
     ray_chunk = os.environ.get("BENCH_RAY_CHUNK")
     adaptive = float(os.environ.get("BENCH_ADAPTIVE", 1.0))
@@ -109,13 +118,42 @@ def main() -> None:
     ).resolved(scene)
 
     from ovr_tpu.render import accel
-    mc = accel.build_macrocells(scene.volume.grid, scene.tfn.alpha,
+    proxy = None
+    if neural:
+        from ovr_tpu.neural.train import bake_grid
+        r = int(os.environ.get("BENCH_PROXY", cfg.neural_proxy_res))
+        cfg = dataclasses.replace(cfg, neural_proxy_res=r).resolved(scene)
+        if cfg.sw is not None:
+            proxy = jax.block_until_ready(bake_grid(scene.volume, (r, r, r)))
+        mc_grid = proxy if proxy is not None else scene.volume.grid
+    else:
+        mc_grid = scene.volume.grid
+    mc = accel.build_macrocells(mc_grid, scene.tfn.alpha,
                                 scene.tfn.value_range)
     mc = jax.device_put(mc)
 
     mesh_spec = os.environ.get("BENCH_MESH", "")  # "TxB", e.g. "4x2"
     backward = os.environ.get("BENCH_BACKWARD", "") == "1"
-    if mesh_spec:
+    if neural == "train":
+        # full inverse-rendering step: render the field through the baked
+        # proxy, backward to hash tables + MLP weights (BASELINE #4)
+        import jax.numpy as jnp
+        from ovr_tpu.neural.train import make_image_train_step
+        target = jnp.zeros((height, width, 4), jnp.float32)
+        step, state = make_image_train_step(scene, cfg, lr=1e-3)
+
+        class Out:
+            def __init__(self, x):
+                self.rgba = x
+
+        state_box = [state]
+
+        def frame(i, chain):
+            cam = dataclasses.replace(scene.camera,
+                                      from_=scene.camera.from_ + chain)
+            state_box[0], loss = step(state_box[0], cam, target)
+            return Out(loss)
+    elif mesh_spec:
         # multi-device rendering: image-row bands over `tiles`, Z-slab
         # bricks over `bricks` (ring compositing); runs on however many
         # devices the platform exposes (8 virtual CPU devices in CI)
@@ -223,12 +261,12 @@ def main() -> None:
             # live scene input: the runtime dedups repeated executions
             # with identical used operands, which would otherwise turn a
             # fixed camera/TF benchmark into a dispatch-latency benchmark.
-            if lg is not None or ptf is not None:  # keep caches valid
+            if lg is not None or ptf is not None or proxy is not None:
                 cam = dataclasses.replace(
                     scene.camera, from_=scene.camera.from_ + chain)
                 return api.render(scene, cfg, camera=cam, frame_index=i,
                                   macrocells=mc, light_grid=lg,
-                                  pt_fields=ptf)
+                                  pt_fields=ptf, proxy_grid=proxy)
             tfn = dataclasses.replace(scene.tfn,
                                       alpha=scene.tfn.alpha + chain)
             sc = dataclasses.replace(scene, tfn=tfn)
@@ -269,7 +307,8 @@ def main() -> None:
                + (f"-pt{pt}" if pt else "")
                + (f"-tv{os.environ['BENCH_TIMEVAR']}"
                   if os.environ.get("BENCH_TIMEVAR") else "")
-               + (f"-mesh{mesh_spec}" if mesh_spec else ""))
+               + (f"-mesh{mesh_spec}" if mesh_spec else "")
+               + (f"-nf{neural}{cfg.neural_proxy_res}" if neural else ""))
     baseline_path = os.path.join(os.path.dirname(__file__),
                                  "BASELINE_SELF.json")
     book = {}
@@ -283,7 +322,10 @@ def main() -> None:
         with open(baseline_path, "w") as f:
             json.dump(book, f, indent=2, sort_keys=True)
 
-    if pt == "dense":
+    if neural:
+        desc = (f"neural hash-grid MLP via baked {cfg.neural_proxy_res}^3 "
+                f"proxy" + (", full train step" if neural == "train" else ""))
+    elif pt == "dense":
         desc = "dense discrete-ordinates path tracer + shear-warp gather"
     elif pt:
         desc = "delta-tracking path tracer, macrocell DDA"

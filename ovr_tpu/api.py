@@ -102,6 +102,13 @@ class RenderConfig:
     ray_chunk: Optional[int] = None
     iso_steps: int = 128  # isosurface root-bracketing steps
     geometry_chunk: int = 256  # triangles per Möller-Trumbore block
+    # neural-field fast path: bake the field to a dense proxy grid and
+    # render it through shear-warp (method='shearwarp'/'auto' only; the
+    # march path samples the field exactly). The bake is differentiable,
+    # so weight gradients flow render -> proxy -> field (the repo's north
+    # star, BASELINE config #4; reference TODO `README.md:12`).
+    neural_proxy: bool = True
+    neural_proxy_res: int = 512  # proxy lattice resolution per axis
     dtype: Any = jnp.float32
 
     def resolved(self, scene: Scene, camera: Optional[Camera] = None
@@ -128,6 +135,12 @@ class RenderConfig:
             view = (dataclasses.replace(self, shading=ig.SHADING_NONE)
                     if pt_dense else self)  # pt gather is unshaded
             insts = getattr(scene, "instances", ())
+            if (eligible and not insts and self.neural_proxy
+                    and not hasattr(scene.volume, "grid")):
+                # neural field: plan shear-warp over the baked proxy grid
+                # (shape-only shim; the bake itself happens under jit)
+                scene = dataclasses.replace(
+                    scene, volume=_proxy_shim(scene.volume, self))
             if eligible and insts and not pt_dense:
                 # multi-volume: one shear-warp plan per volume instance;
                 # screen partials depth-sort + over-composite
@@ -196,6 +209,45 @@ def _vol_repr(volume):
     """Dense volumes render from their grid; neural-field volumes are their
     own sampleable representation (neural.field.sample_any_volume)."""
     return volume.grid if hasattr(volume, "grid") else volume
+
+
+@dataclasses.dataclass(frozen=True)
+class _ShimVolume:
+    """Shape-only stand-in for the neural proxy grid during host-side plan
+    resolution (no allocation: a broadcast view of one zero)."""
+
+    grid: Any
+    world_lo: Any
+    world_hi: Any
+
+
+def _proxy_shim(field, cfg) -> _ShimVolume:
+    r = int(cfg.neural_proxy_res)
+    return _ShimVolume(
+        grid=np.broadcast_to(np.zeros(1, np.float32), (r, r, r)),
+        world_lo=np.asarray(field.world_lo), world_hi=np.asarray(field.world_hi))
+
+
+def bake_proxy_scene(scene: Scene, cfg: RenderConfig, grid=None) -> Scene:
+    """Replace a neural-field volume with its dense baked proxy — the
+    shear-warp fast path for neural rendering (differentiable: gradients
+    flow through the bake to the hash tables and MLP weights). Pass a
+    precomputed `grid` (e.g. from `neural.train.bake_grid`) to amortize
+    the bake across frames; `Renderer.commit` caches one."""
+    from ovr_tpu.core.scene import StructuredVolume
+    from ovr_tpu.neural.train import bake_grid
+
+    vol = scene.volume
+    if hasattr(vol, "grid"):
+        return scene
+    r = int(cfg.neural_proxy_res)
+    if grid is None:
+        grid = bake_grid(vol, (r, r, r))
+    proxy = StructuredVolume(
+        grid=grid, world_lo=jnp.asarray(vol.world_lo, cfg.dtype),
+        world_hi=jnp.asarray(vol.world_hi, cfg.dtype),
+        data_range=jnp.asarray(vol.data_range, cfg.dtype))
+    return dataclasses.replace(scene, volume=proxy)
 
 
 def _extra_lights(scene: Scene):
@@ -285,7 +337,7 @@ def render(scene: Scene, cfg: RenderConfig, camera: Optional[Camera] = None,
            macrocells: Optional[accel.MacrocellGrid] = None,
            last_camera: Optional[Camera] = None,
            light_grid: Optional[jnp.ndarray] = None,
-           pt_fields=None) -> Frame:
+           pt_fields=None, proxy_grid=None) -> Frame:
     """Render one frame. Pure, jitted, differentiable (when cfg.fast_math is
     False and cfg.path_tracing is False uses the scan integrator).
 
@@ -310,6 +362,9 @@ def render(scene: Scene, cfg: RenderConfig, camera: Optional[Camera] = None,
         return pathtracer.render_frame(scene, cfg, camera, key, macrocells)
 
     if cfg.sw is not None:
+        if not hasattr(scene.volume, "grid"):
+            # neural field -> baked dense proxy (differentiable bake)
+            scene = bake_proxy_scene(scene, cfg, grid=proxy_grid)
         if light_grid is None and _wants_light_grid(cfg):
             light_grid = build_light_grid(scene, cfg)
         return _render_shearwarp_frame(scene, cfg, camera, key, last_camera,
@@ -592,6 +647,7 @@ class Renderer:
         self._macrocells: Optional[accel.MacrocellGrid] = None
         self._light_grid: Optional[jnp.ndarray] = None
         self._pt_fields = None  # ptdense (sigma, J) cache
+        self._proxy_grid = None  # baked neural-field proxy cache
         self._sparse = False
         self._focus = None
         self._accumulating = False
@@ -718,6 +774,13 @@ class Renderer:
                 and self._cfg.sw is not None and self._pt_fields is None):
             from ovr_tpu.render import ptdense
             self._pt_fields = ptdense.prepare(self.scene, self._cfg)
+        if (self._cfg.sw is not None and self._proxy_grid is None
+                and not hasattr(self.scene.volume, "grid")):
+            # neural field: amortize the proxy bake across frames (rebaked
+            # only when the volume changes, like the shadow lattice)
+            from ovr_tpu.neural.train import bake_grid
+            r = int(self._cfg.neural_proxy_res)
+            self._proxy_grid = bake_grid(self.scene.volume, (r, r, r))
 
     def render(self) -> None:
         import time
@@ -736,7 +799,7 @@ class Renderer:
                 self.scene, self._cfg, camera=self._camera,
                 frame_index=jnp.int32(self._frame_index),
                 macrocells=self._macrocells, light_grid=self._light_grid,
-                pt_fields=self._pt_fields)
+                pt_fields=self._pt_fields, proxy_grid=self._proxy_grid)
         if self._accumulating:
             frame, self._accum = accumulate(frame, self._accum,
                                             self._frame_index)

@@ -785,7 +785,10 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
     maj_v = None
     if (macrocells is not None and sw.pallas and pt_fields is None
             and sample_box is None and clip_box is None and slice0 is None
-            and getattr(cfg, "sw_skip", True)):
+            and getattr(cfg, "sw_skip", True)
+            and hasattr(vol, "grid")
+            and tuple(macrocells.vol_dims)
+            == (vol.grid.shape[2], vol.grid.shape[1], vol.grid.shape[0])):
         maj_v = _volume_view(macrocells.majorant.astype(jnp.float32),
                              axis, sign)
 

@@ -108,3 +108,59 @@ def test_bake_grid_matches_field():
     p = jnp.asarray([[(3 + 0.5) / 8, (2 + 0.5) / 8, (1 + 0.5) / 8]])
     v = field_sample(field, p)
     np.testing.assert_allclose(float(g[1, 2, 3]), float(v[0]), rtol=1e-5)
+
+
+def test_proxy_fast_path_matches_march():
+    """Neural volumes route through shear-warp over a baked proxy grid
+    (BASELINE config #4's fast path); the proxy render approximates the
+    exact field march within bake-discretization tolerance."""
+    field = init_field(jax.random.PRNGKey(7), CFG, hidden=16, n_hidden=1)
+    scene = _neural_scene(field)
+    cfg_fast = api.RenderConfig(
+        width=32, height=24, spp=1, sampling_rate=24.0, shading="none",
+        method="auto", neural_proxy_res=48).resolved(scene)
+    assert cfg_fast.sw is not None, "neural proxy plan did not resolve"
+    f_fast = api.render(scene, cfg_fast)
+    cfg_ref = api.RenderConfig(width=32, height=24, spp=1,
+                               sampling_rate=24.0, shading="none",
+                               method="march").resolved(scene)
+    f_ref = api.render(scene, cfg_ref)
+    err = np.abs(np.asarray(f_fast.rgba) - np.asarray(f_ref.rgba))
+    assert err.mean() < 0.05, err.mean()
+
+
+def test_proxy_gradients_reach_weights_fd():
+    """Weight gradients flow through render -> baked proxy -> field and
+    match finite differences (the differentiable bake)."""
+    field = init_field(jax.random.PRNGKey(8), CFG, hidden=8, n_hidden=1)
+    scene = _neural_scene(field)
+    cfg = api.RenderConfig(width=8, height=8, spp=1, sampling_rate=8.0,
+                           shading="none", method="auto",
+                           neural_proxy_res=16).resolved(scene)
+    assert cfg.sw is not None
+
+    import dataclasses as dc
+
+    def loss(tables):
+        f2 = dc.replace(field, tables=tables)
+        s2 = dc.replace(scene, volume=f2)
+        return jnp.mean(api.render(s2, cfg).rgba ** 2)
+
+    g = jax.grad(loss)(field.tables)
+    gn = np.asarray(g)
+    assert np.isfinite(gn).all() and np.abs(gn).max() > 0
+    # directional secant check (single-entry FD lands on the kinks of the
+    # piecewise-linear TF classification; a random direction averages
+    # over them)
+    thresh = np.quantile(np.abs(gn), 0.999)
+    v = np.where(np.abs(gn) >= thresh, np.sign(gn), 0.0).astype(np.float32)
+    assert v.any()
+    t0 = np.asarray(field.tables)
+    # eps small enough that the secant does not straddle the kinks of the
+    # piecewise-linear TF classification (FD converges to the autodiff
+    # value as eps -> 0; at 1e-3 the kink bias is ~20%)
+    eps = 1e-4
+    fd = (float(loss(jnp.asarray(t0 + eps * v)))
+          - float(loss(jnp.asarray(t0 - eps * v)))) / (2 * eps)
+    np.testing.assert_allclose(float((gn * v).sum()), fd, rtol=0.08,
+                               atol=1e-7)
