@@ -108,12 +108,13 @@ def main() -> None:
     bf16_mm = os.environ.get("BENCH_BF16", "") == "1"
     term = os.environ.get("BENCH_TERM", "1") == "1"
     skip = os.environ.get("BENCH_SKIP", "1") == "1"
+    colwin = os.environ.get("BENCH_COLWIN", "") == "1"
     cfg = api.RenderConfig(
         width=width, height=height, spp=1, sampling_rate=rate,
         shading=shading, fast_math=True, use_macrocells=True, method=method,
         ray_chunk=int(ray_chunk) if ray_chunk else None,
         adaptive_scale=adaptive, sw_bf16=bf16_mm, sw_term=term,
-        sw_skip=skip,
+        sw_skip=skip, sw_col_win=colwin,
         path_tracing=bool(pt), pt_dense=(pt == "dense"),
     ).resolved(scene)
 
@@ -303,6 +304,7 @@ def main() -> None:
                + (f"-rc{ray_chunk}" if ray_chunk else "")
                + ("-mm16" if bf16_mm else "")
                + ("" if term else "-noterm") + ("" if skip else "-noskip")
+               + ("-cw" if colwin else "")
                + (f"-as{adaptive:g}" if adaptive != 1.0 else "")
                + (f"-pt{pt}" if pt else "")
                + (f"-tv{os.environ['BENCH_TIMEVAR']}"

@@ -163,7 +163,7 @@ def _dot_t(a, b, bf16):
 def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
             vol0a_ref, vol0b_ref, vol1a_ref, vol1b_ref, lg0_ref, lg1_ref,
             pg_ref, qg_ref, tab_ref, sc_ref, out_ref, prev_s, t1_scr,
-            g2_scr, alive_ref, *, n_r, n_c, n_orig, n_chunks, r_tile, wi_p,
+            alive_ref, *, n_r, n_c, n_orig, n_chunks, r_tile, wi_p,
             win, mode, l_r, l_c, bf16, paired, col_chunk, n_extra, win_c,
             sub, term):
     """One (row tile, slice-schedule step) grid step. out_ref (8, R, Wi)
@@ -260,20 +260,29 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
         vr_loc = jnp.clip(vr - row_base, 0.0, n_w - 1.0)
         # storage scale (normalized-int 1/max) folds into the row weights
         wr = _interp_w(vr_loc, n_w) * sc(S_GS)  # (R, W)
-        t1 = g2row = None
+        t1 = t12 = None
         if win_c:
-            # transposed (Nc, R) row-resample accumulators in scratch: each
-            # column chunk below dynamic-slices a sublane-aligned K window
-            # out of them, cutting the column contraction from Nc to win_c
-            # MACs per output (the hat matrix is 2-banded)
-            t1_scr[:, :] = row_dot_t(wr)
+            # transposed (Nc, R | 2R) row-resample accumulator in scratch:
+            # each column chunk below dynamic-slices a sublane-aligned K
+            # window out of it, cutting the column contraction from Nc to
+            # win_c MACs per output (the hat matrix is 2-banded); shaded
+            # modes stack the d/d(row) resample into the same lanes
             if mode >= 1:
-                g2_scr[:, :] = row_dot_t(
+                t1_scr[:, 0:r_tile] = row_dot_t(wr)
+                t1_scr[:, r_tile:] = row_dot_t(
                     _interp_dw(vr_loc, n_w) * sc(S_GS))
+            else:
+                t1_scr[:, :] = row_dot_t(wr)
+        elif mode >= 1:
+            # stack the value and d/d(row) weight rows: ONE row matmul of
+            # M = 2R (fills the MXU at r_tile 64), and the column matmul
+            # below then yields smp and g2 together
+            wrs = jnp.concatenate(
+                [wr, _interp_dw(vr_loc, n_w) * sc(S_GS)], axis=0)
+            t12 = row_dot(wrs)  # (2R, Nc): [t1; g2row]
+            t1 = t12[:r_tile]
         else:
             t1 = row_dot(wr)  # (R, Nc)
-            if mode >= 1:
-                g2row = row_dot(_interp_dw(vr_loc, n_w) * sc(S_GS))
         if mode == 2:
             cl = jnp.clip(z_rel / sc(S_EXA) * sc(S_NLA) - 0.5, 0.0,
                           sc(S_NLA) - 1.0)
@@ -314,13 +323,22 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
                            sc(S_EW1) + pgc * lam)
             vc = jnp.clip((x1 - sc(S_LO1)) / sc(S_EX1) * n_c - 0.5, 0.0,
                           n_c - 1.0)
+            smp2 = None
             if win_c:
                 c0 = c0_ref[js, w] * 8
                 vc_loc = jnp.clip(vc - c0.astype(jnp.float32), 0.0,
                                   win_c - 1.0)
-                t1w = t1_scr[pl.dslice(c0, win_c), :]  # (Wc, R)
+                t1w = t1_scr[pl.dslice(c0, win_c), :]  # (Wc, R | 2R)
                 wc = _interp_w(vc_loc, win_c)  # (CC, Wc)
-                smp = _dot_t(t1w, wc, bf16)  # (R, CC)
+                if mode >= 1:
+                    smp2 = _dot_t(t1w, wc, bf16)  # (2R, CC): [smp; g2row]
+                    smp = smp2[:r_tile]
+                else:
+                    smp = _dot_t(t1w, wc, bf16)  # (R, CC)
+            elif mode >= 1:
+                wc = _interp_w(vc, n_c)  # (CC, Nc)
+                smp2 = _dot(t12, wc, bf16, trans_b=True)  # (2R, CC)
+                smp = smp2[:r_tile]
             else:
                 wc = _interp_w(vc, n_c)  # (CC, Nc)
                 smp = _dot(t1, wc, bf16, trans_b=True)  # (R, CC)
@@ -378,15 +396,16 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
                 # analytic bilinear-derivative gradient (world units)
                 if win_c:
                     dwc = _interp_dw(vc_loc, win_c)
-                    g1 = _dot_t(t1w, dwc, bf16) * (n_c / sc(S_EX1))
-                    g2w_ = g2_scr[pl.dslice(c0, win_c), :]
-                    g2 = _dot_t(g2w_, wc, bf16) * (n_r / sc(S_EX2))
+                    # rows [R:] of this product are d2/drow-dcol — wasted,
+                    # but K=win_c is small and it avoids a lane reslice
+                    g1 = _dot_t(t1w, dwc, bf16)[:r_tile] * (
+                        n_c / sc(S_EX1))
+                    g2 = smp2[r_tile:] * (n_r / sc(S_EX2))
                 else:
                     dwc = _interp_dw(vc, n_c)
                     g1 = _dot(t1, dwc, bf16,
                               trans_b=True) * (n_c / sc(S_EX1))
-                    g2 = _dot(g2row, wc, bf16,
-                              trans_b=True) * (n_r / sc(S_EX2))
+                    g2 = smp2[r_tile:] * (n_r / sc(S_EX2))
                 ds = jnp.where(j > 0, (smp - prev_s[:, cs]) / sc(S_DZDLAM),
                                0.0)
                 k1 = jnp.where(ortho, sc(S_K1O), pp)
@@ -766,9 +785,8 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
         scratch_shapes=[
             pltpu.VMEM((r_tile, wi_p) if mode >= 1 else (8, 8),
                        jnp.float32),
-            pltpu.VMEM((n_c, r_tile) if win_c else (8, 8), jnp.float32),
-            pltpu.VMEM((n_c, r_tile) if (win_c and mode >= 1) else (8, 8),
-                       jnp.float32),
+            pltpu.VMEM((n_c, (2 if mode >= 1 else 1) * r_tile)
+                       if win_c else (8, 8), jnp.float32),
             pltpu.SMEM((1, 1), jnp.int32),
         ],
     )
