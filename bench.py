@@ -70,6 +70,8 @@ def main() -> None:
     method = os.environ.get("BENCH_METHOD", "auto")
     store = os.environ.get("BENCH_STORE",
                            "bf16" if grid_n >= 512 else "f32")
+    if os.environ.get("BENCH_TIMEVAR"):
+        store = "f32"  # the streamed timesteps are host float32
 
     scene = build_scene(grid_n)
     if store != "f32":

@@ -30,8 +30,8 @@ def _cfg(shading="none", w=16, h=16):
 
 @pytest.mark.parametrize("cam_from", [
     (0.5, 0.5, -1.6),   # rays ascending in z
-    (0.5, 0.5, 2.6),    # rays descending in z
-    (-1.6, 0.4, 0.5),   # rays mostly along x: mixed dir.z signs
+    pytest.param((0.5, 0.5, 2.6), marks=pytest.mark.slow),   # descending
+    pytest.param((-1.6, 0.4, 0.5), marks=pytest.mark.slow),  # along x
 ])
 @pytest.mark.parametrize("shading", ["none", "diffuse"])
 def test_bricked_matches_unbricked(small_grid, cam_from, shading):
@@ -45,6 +45,7 @@ def test_bricked_matches_unbricked(small_grid, cam_from, shading):
     np.testing.assert_allclose(got, ref, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_ring_equals_gather(small_grid):
     scene = _scene(small_grid, (-1.2, 0.7, 0.2))
     cfg = _cfg("diffuse").resolved(scene)
@@ -55,6 +56,7 @@ def test_ring_equals_gather(small_grid):
     np.testing.assert_allclose(ring, gat, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_bricked_gradients_match(small_grid):
     """TF-alpha gradients through the bricked ring match the unbricked ones."""
     scene = _scene(small_grid, (0.5, 0.5, -1.6))
@@ -79,8 +81,8 @@ def test_bricked_gradients_match(small_grid):
 
 @pytest.mark.parametrize("cam_from", [
     (0.5, 0.5, -1.6),   # principal axis == brick axis, ascending
-    (0.5, 0.5, 2.6),    # descending: slice subranges reversed over bricks
-    (-1.6, 0.4, 0.5),   # transverse view: lateral z-clip, mixed dir.z
+    pytest.param((0.5, 0.5, 2.6), marks=pytest.mark.slow),  # descending
+    pytest.param((-1.6, 0.4, 0.5), marks=pytest.mark.slow),  # transverse
 ])
 @pytest.mark.parametrize("shading", ["none", "diffuse", "shadow"])
 def test_bricked_shearwarp_matches_unbricked(small_grid, cam_from, shading):
@@ -106,6 +108,7 @@ def test_bricked_shearwarp_matches_unbricked(small_grid, cam_from, shading):
     np.testing.assert_allclose(got, ref, atol=tol)
 
 
+@pytest.mark.slow
 def test_bricked_shearwarp_tiles_and_bricks(small_grid):
     """tiles x bricks combined: each band uses its own shrunk ray fan, so
     parity with the unbricked full-frame fan is loose (resampling grids

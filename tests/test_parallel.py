@@ -122,6 +122,7 @@ class TestShearwarpSharded:
         err = np.abs(pm_o - pm_r).max(-1)[inner]
         assert np.quantile(err, 0.95) < 0.06, err.max()
 
+    @pytest.mark.slow
     def test_shadow_sharded(self, small_grid):
         import dataclasses
 

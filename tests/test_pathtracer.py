@@ -7,6 +7,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ovr_tpu import api
 from ovr_tpu.core.scene import Camera, Scene, StructuredVolume, TransferFunction
@@ -261,6 +262,7 @@ class TestDensePT:
                      - mc[..., :3] * mc[..., 3:4])[interior]
         assert err.mean() < 0.03, err.mean()
 
+    @pytest.mark.slow
     def test_dense_renderer_facade_caches_fields(self):
         scene = self._smooth_scene()
         r = api.Renderer(scene, api.RenderConfig(
