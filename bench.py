@@ -51,6 +51,15 @@ def main() -> None:
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
         jax.config.update("jax_platforms", plat)
+    try:
+        # persistent compile cache: the 1024^3 kernels take ~10 min to
+        # compile; cache across processes so repeat runs start hot
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/ovr_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
     from ovr_tpu import api
 

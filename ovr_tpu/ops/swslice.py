@@ -106,6 +106,9 @@ T_EPS = 1e-4  # termination transmittance (alpha >= 0.9999)
 S_EL0 = 48
 # normalized-integer / storage scale folded into the row weights
 S_GS = 64
+# fan cell spacings (p and q axes) — the FD-gradient step
+S_DP = 65
+S_DQ = 66
 N_SCALARS = 72
 
 
@@ -163,7 +166,8 @@ def _dot_t(a, b, bf16):
 def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
             vol0a_ref, vol0b_ref, vol1a_ref, vol1b_ref, lg0_ref, lg1_ref,
             pg_ref, qg_ref, tab_ref, sc_ref, out_ref, prev_s, t1_scr,
-            alive_ref, *, n_r, n_c, n_orig, n_chunks, r_tile, wi_p,
+            smp_scr, g1_scr, alive_ref, *, n_r, n_c, n_orig, n_chunks,
+            r_tile, wi_p,
             win, mode, l_r, l_c, bf16, paired, col_chunk, n_extra, win_c,
             sub, term):
     """One (row tile, slice-schedule step) grid step. out_ref (8, R, Wi)
@@ -217,7 +221,12 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
 
         def up(x):
             # integer / compact slabs -> f32 on the VPU after the DMA
-            return x if x.dtype == jnp.float32 else x.astype(jnp.float32)
+            # (Mosaic has no direct uint8/16 -> f32 cast; hop via int32)
+            if x.dtype == jnp.float32:
+                return x
+            if x.dtype in (jnp.uint8, jnp.uint16):
+                return x.astype(jnp.int32).astype(jnp.float32)
+            return x.astype(jnp.float32)
 
         # window of source rows this row tile touches (prefetched in units
         # of `sub` rows so Mosaic can prove sublane alignment of the
@@ -251,38 +260,38 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
             def row_dot_t(w):  # (R, n_w) -> (Nc, R)
                 return _dot_t(plane_w, w, bf16)
 
-        # row-shared quantities (independent of fan columns)
+        # row-shared quantities (independent of fan columns). Shaded modes
+        # resample one HALO row beyond each tile edge (the fan q grid is
+        # uniform, so the halo q values are just +-dq) and take the
+        # gradient by central finite differences over the fan — the
+        # reference's own gradient is an FD
+        # (`shaders_common.h:195-215`), and this removes the two extra
+        # full-width gradient matmuls per plane.
         pg = pg_ref[0, :]  # (Wi,)
         qg = qg_ref[:, 0]  # (R,)
-        x2 = jnp.where(ortho, qg + sc(S_DW2) * lam, sc(S_EW2) + qg * lam)
-        vr = jnp.clip((x2 - sc(S_LO2)) / sc(S_EX2) * n_r - 0.5, 0.0,
+        rows = r_tile + 2 if mode >= 1 else r_tile
+        if mode >= 1:
+            qge = jnp.concatenate(
+                [qg[0:1] - sc(S_DQ), qg, qg[r_tile - 1:r_tile] + sc(S_DQ)])
+        else:
+            qge = qg
+        x2e = jnp.where(ortho, qge + sc(S_DW2) * lam,
+                        sc(S_EW2) + qge * lam)
+        vr = jnp.clip((x2e - sc(S_LO2)) / sc(S_EX2) * n_r - 0.5, 0.0,
                       n_r - 1.0)
         vr_loc = jnp.clip(vr - row_base, 0.0, n_w - 1.0)
         # storage scale (normalized-int 1/max) folds into the row weights
-        wr = _interp_w(vr_loc, n_w) * sc(S_GS)  # (R, W)
-        t1 = t12 = None
+        wr = _interp_w(vr_loc, n_w) * sc(S_GS)  # (rows, W)
+        t1 = None
         if win_c:
-            # transposed (Nc, R | 2R) row-resample accumulator in scratch:
+            # transposed (Nc, rows) row-resample accumulator in scratch:
             # each column chunk below dynamic-slices a sublane-aligned K
             # window out of it, cutting the column contraction from Nc to
-            # win_c MACs per output (the hat matrix is 2-banded); shaded
-            # modes stack the d/d(row) resample into the same lanes
-            if mode >= 1:
-                t1_scr[:, 0:r_tile] = row_dot_t(wr)
-                t1_scr[:, r_tile:] = row_dot_t(
-                    _interp_dw(vr_loc, n_w) * sc(S_GS))
-            else:
-                t1_scr[:, :] = row_dot_t(wr)
-        elif mode >= 1:
-            # stack the value and d/d(row) weight rows: ONE row matmul of
-            # M = 2R (fills the MXU at r_tile 64), and the column matmul
-            # below then yields smp and g2 together
-            wrs = jnp.concatenate(
-                [wr, _interp_dw(vr_loc, n_w) * sc(S_GS)], axis=0)
-            t12 = row_dot(wrs)  # (2R, Nc): [t1; g2row]
-            t1 = t12[:r_tile]
+            # win_c MACs per output (the hat matrix is 2-banded)
+            t1_scr[:, 0:rows] = row_dot_t(wr)
         else:
-            t1 = row_dot(wr)  # (R, Nc)
+            t1 = row_dot(wr)  # (rows, Nc)
+        x2 = x2e[1:r_tile + 1] if mode >= 1 else x2e  # (R,)
         if mode == 2:
             cl = jnp.clip(z_rel / sc(S_EXA) * sc(S_NLA) - 0.5, 0.0,
                           sc(S_NLA) - 1.0)
@@ -312,6 +321,39 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
         la = sc(S_CLA)
         ha = sc(S_CHA)
 
+        if mode >= 1:
+            # pass A: resample the whole (halo-extended) fan plane into
+            # scratch — the only per-plane matmul work
+            for w in range(wi_p // col_chunk):
+                cs = slice(w * col_chunk, (w + 1) * col_chunk)
+                x1c = jnp.where(ortho, pg[cs] + sc(S_DW1) * lam,
+                                sc(S_EW1) + pg[cs] * lam)
+                vcc = jnp.clip((x1c - sc(S_LO1)) / sc(S_EX1) * n_c - 0.5,
+                               0.0, n_c - 1.0)
+                if win_c:
+                    c0 = c0_ref[js, w] * 8
+                    vcl = jnp.clip(vcc - c0.astype(jnp.float32), 0.0,
+                                   win_c - 1.0)
+                    t1w = t1_scr[pl.dslice(c0, win_c), 0:rows]
+                    smp_scr[0:rows, cs] = _dot_t(
+                        t1w, _interp_w(vcl, win_c), bf16)
+                else:
+                    smp_scr[0:rows, cs] = _dot(
+                        t1, _interp_w(vcc, n_c), bf16, trans_b=True)
+            # lateral gradient (d smp / d x1) by central FD over the fan
+            # columns, one-sided at the fan border; Dx1 = dp (ortho) or
+            # dp * lam (perspective central projection)
+            lamf = jnp.where(ortho, 1.0, lam)
+            s_mid = smp_scr[1:r_tile + 1, :]
+            # pltpu.roll needs non-negative shifts: wi_p-1 == -1 circular
+            fwd = pltpu.roll(s_mid, wi_p - 1, 1) - s_mid
+            bwd = s_mid - pltpu.roll(s_mid, 1, 1)
+            col = jax.lax.broadcasted_iota(jnp.int32, (r_tile, wi_p), 1)
+            cen = 0.5 * (fwd + bwd)
+            g1v = jnp.where(col == 0, fwd,
+                            jnp.where(col == wi_p - 1, bwd, cen))
+            g1_scr[:, :] = g1v / (sc(S_DP) * lamf)
+
         any_alive = jnp.zeros((), jnp.bool_)
 
         # sweep the fan width in column chunks: the interpolation matrix,
@@ -323,25 +365,17 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
                            sc(S_EW1) + pgc * lam)
             vc = jnp.clip((x1 - sc(S_LO1)) / sc(S_EX1) * n_c - 0.5, 0.0,
                           n_c - 1.0)
-            smp2 = None
-            if win_c:
+            if mode >= 1:
+                smp = smp_scr[1:r_tile + 1, cs]  # resampled in pass A
+            elif win_c:
                 c0 = c0_ref[js, w] * 8
                 vc_loc = jnp.clip(vc - c0.astype(jnp.float32), 0.0,
                                   win_c - 1.0)
-                t1w = t1_scr[pl.dslice(c0, win_c), :]  # (Wc, R | 2R)
-                wc = _interp_w(vc_loc, win_c)  # (CC, Wc)
-                if mode >= 1:
-                    smp2 = _dot_t(t1w, wc, bf16)  # (2R, CC): [smp; g2row]
-                    smp = smp2[:r_tile]
-                else:
-                    smp = _dot_t(t1w, wc, bf16)  # (R, CC)
-            elif mode >= 1:
-                wc = _interp_w(vc, n_c)  # (CC, Nc)
-                smp2 = _dot(t12, wc, bf16, trans_b=True)  # (2R, CC)
-                smp = smp2[:r_tile]
+                t1w = t1_scr[pl.dslice(c0, win_c), 0:r_tile]  # (Wc, R)
+                smp = _dot_t(t1w, _interp_w(vc_loc, win_c), bf16)  # (R, CC)
             else:
-                wc = _interp_w(vc, n_c)  # (CC, Nc)
-                smp = _dot(t1, wc, bf16, trans_b=True)  # (R, CC)
+                smp = _dot(t1, _interp_w(vc, n_c), bf16,
+                           trans_b=True)  # (R, CC)
 
             # exact per-pixel plane/ray interval overlap (inline slab test)
             d1 = jnp.where(ortho, sc(S_DW1), pgc)
@@ -393,19 +427,12 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
             a = jnp.minimum(a, 1.0 - 1e-6)  # over_scan's A_MAX
 
             if mode >= 1:
-                # analytic bilinear-derivative gradient (world units)
-                if win_c:
-                    dwc = _interp_dw(vc_loc, win_c)
-                    # rows [R:] of this product are d2/drow-dcol — wasted,
-                    # but K=win_c is small and it avoids a lane reslice
-                    g1 = _dot_t(t1w, dwc, bf16)[:r_tile] * (
-                        n_c / sc(S_EX1))
-                    g2 = smp2[r_tile:] * (n_r / sc(S_EX2))
-                else:
-                    dwc = _interp_dw(vc, n_c)
-                    g1 = _dot(t1, dwc, bf16,
-                              trans_b=True) * (n_c / sc(S_EX1))
-                    g2 = smp2[r_tile:] * (n_r / sc(S_EX2))
+                # fan-FD gradient (reference semantics,
+                # shaders_common.h:195-215): lateral from the precomputed
+                # full-width FD, row-wise from the halo rows
+                g1 = g1_scr[:, cs]
+                g2 = (smp_scr[2:r_tile + 2, cs] - smp_scr[0:r_tile, cs]
+                      ) * (0.5 / (sc(S_DQ) * lamf))
                 ds = jnp.where(j > 0, (smp - prev_s[:, cs]) / sc(S_DZDLAM),
                                0.0)
                 k1 = jnp.where(ortho, sc(S_K1O), pp)
@@ -634,15 +661,21 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
         k0l = jnp.zeros((n_slices,), jnp.int32)
     l_a, l_r, l_c = lgrid.shape
 
-    # pad the fan: columns to LANES, rows to r_tile (padded rows/cols
-    # recompute the edge ray; outputs are sliced off)
+    # pad the fan: columns to LANES, rows to r_tile. Padding CONTINUES the
+    # uniform fan lattice (p/q are regular grids) so the shaded modes' FD
+    # gradients see real neighbor rays at the pad seam; pad outputs are
+    # sliced off.
+    dp = pg[1] - pg[0] if wi_i > 1 else jnp.ones((), pg.dtype)
+    dq = qg[1] - qg[0] if hi_i > 1 else jnp.ones((), qg.dtype)
     pad_w = (-wi_i) % LANES
-    pg_p = (jnp.concatenate([pg, jnp.broadcast_to(pg[-1:], (pad_w,))])
-            if pad_w else pg)
+    pg_p = (jnp.concatenate(
+        [pg, pg[-1] + dp * jnp.arange(1, pad_w + 1, dtype=pg.dtype)])
+        if pad_w else pg)
     r_tile = min(r_tile, -(-hi_i // 8) * 8)
     pad_h = (-hi_i) % r_tile
-    qg_p = (jnp.concatenate([qg, jnp.broadcast_to(qg[-1:], (pad_h,))])
-            if pad_h else qg)
+    qg_p = (jnp.concatenate(
+        [qg, qg[-1] + dq * jnp.arange(1, pad_h + 1, dtype=qg.dtype)])
+        if pad_h else qg)
     wi_p = wi_i + pad_w
     hi_p = hi_i + pad_h
     n_tiles = hi_p // r_tile
@@ -652,6 +685,8 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
     win = min(win_r, n_r) if win_r else n_r
     sc_f = scalars.astype(jnp.float32)
     sc_f = sc_f.at[S_GS].set(jnp.float32(gs))
+    sc_f = sc_f.at[S_DP].set(dp.astype(jnp.float32))
+    sc_f = sc_f.at[S_DQ].set(dq.astype(jnp.float32))
     w0s = _window_offsets(sc_f, pg_p, qg_p.astype(jnp.float32),
                           k0, n_slices, n_r, r_tile, win, sub)
 
@@ -785,8 +820,12 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
         scratch_shapes=[
             pltpu.VMEM((r_tile, wi_p) if mode >= 1 else (8, 8),
                        jnp.float32),
-            pltpu.VMEM((n_c, (2 if mode >= 1 else 1) * r_tile)
-                       if win_c else (8, 8), jnp.float32),
+            pltpu.VMEM((n_c, r_tile + 8) if win_c else (8, 8),
+                       jnp.float32),
+            pltpu.VMEM((r_tile + 8, wi_p) if mode >= 1 else (8, 8),
+                       jnp.float32),
+            pltpu.VMEM((r_tile, wi_p) if mode >= 1 else (8, 8),
+                       jnp.float32),
             pltpu.SMEM((1, 1), jnp.int32),
         ],
     )

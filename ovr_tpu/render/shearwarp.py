@@ -534,9 +534,12 @@ def _extra_lights_fan(scene, w1, w2, axis, dt):
 
 def _plane_fields(st, P, lam_j, k0_j, fz_j, want_grad=True):
     """Resample one slice plane of the shaded loop: returns
-    (smp (Hi,Wi), g1, g2, x1 (Wi,), x2 (Hi,)); g1/g2 are the analytic
-    bilinear-derivative world gradients (None when want_grad=False)."""
-    from ovr_tpu.ops.swslice import _interp_dw, storage_scale
+    (smp (Hi,Wi), g1, g2, x1 (Wi,), x2 (Hi,)); g1/g2 are fan-space
+    central finite differences of the resampled plane — the reference's
+    own gradient semantics (`shaders_common.h:195-215`), and exactly what
+    the fused kernel computes (one halo row beyond each edge; one-sided
+    at the fan's lateral borders)."""
+    from ovr_tpu.ops.swslice import storage_scale
     sw, ortho, mode = st
     grid = P["grid"]
     n_a, n_r, n_c = grid.shape
@@ -544,24 +547,36 @@ def _plane_fields(st, P, lam_j, k0_j, fz_j, want_grad=True):
     sl = jax.lax.dynamic_slice(grid, (k0_j, 0, 0), (2, n_r, n_c))
     # normalized-integer storage scale (`array.h:68-106`)
     plane = (sl[0] * (1.0 - fz_j) + sl[1] * fz_j) * storage_scale(grid.dtype)
+    qg = P["qg"]
+    if want_grad:
+        dq = qg[1] - qg[0]
+        qg = jnp.concatenate([qg[0:1] - dq, qg, qg[-1:] + dq])
     if ortho:
         x1 = P["pg"] + P["dw1"] * lam_j
-        x2 = P["qg"] + P["dw2"] * lam_j
+        x2e = qg + P["dw2"] * lam_j
     else:
         x1 = P["ew1"] + P["pg"] * lam_j
-        x2 = P["ew2"] + P["qg"] * lam_j
+        x2e = P["ew2"] + qg * lam_j
     vc = jnp.clip((x1 - P["lo1"]) / P["ex1"] * n_c - 0.5, 0.0, n_c - 1.0)
-    vr = jnp.clip((x2 - P["lo2"]) / P["ex2"] * n_r - 0.5, 0.0, n_r - 1.0)
+    vr = jnp.clip((x2e - P["lo2"]) / P["ex2"] * n_r - 0.5, 0.0, n_r - 1.0)
     wc = _interp_matrix(vc, n_c)
     wr = _interp_matrix(vr, n_r)
     t1 = _mm(wr, plane, sw.bf16)
-    smp = _mm(t1, wc.T, sw.bf16).astype(dt)
+    smp_e = _mm(t1, wc.T, sw.bf16).astype(dt)  # (Hi[+2], Wi)
     if not want_grad:
-        return smp, None, None, x1, x2
-    dwc = _interp_dw(vc, n_c).astype(dt)
-    dwr = _interp_dw(vr, n_r).astype(dt)
-    g1 = _mm(t1, dwc.T, sw.bf16) * (n_c / P["ex1"])
-    g2 = _mm(_mm(dwr, plane, sw.bf16), wc.T, sw.bf16) * (n_r / P["ex2"])
+        return smp_e, None, None, x1, x2e
+    smp = smp_e[1:-1]
+    x2 = x2e[1:-1]
+    lamf = 1.0 if ortho else lam_j
+    dp = P["pg"][1] - P["pg"][0]
+    fwd = jnp.roll(smp, -1, axis=1) - smp
+    bwd = smp - jnp.roll(smp, 1, axis=1)
+    cen = 0.5 * (fwd + bwd)
+    wi = smp.shape[1]
+    col = jnp.arange(wi)[None, :]
+    g1 = jnp.where(col == 0, fwd,
+                   jnp.where(col == wi - 1, bwd, cen)) / (dp * lamf)
+    g2 = (smp_e[2:] - smp_e[:-2]) * (0.5 / ((qg[1] - qg[0]) * lamf))
     return smp, g1, g2, x1, x2
 
 
