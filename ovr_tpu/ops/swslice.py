@@ -109,6 +109,9 @@ S_GS = 64
 # fan cell spacings (p and q axes) — the FD-gradient step
 S_DP = 65
 S_DQ = 66
+# first padded-fan row's q value (the kernel rebuilds each tile's halo-
+# extended q rows arithmetically — Mosaic cannot concatenate 1D vectors)
+S_QLO = 67
 N_SCALARS = 72
 
 
@@ -169,7 +172,7 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
             smp_scr, g1_scr, alive_ref, *, n_r, n_c, n_orig, n_chunks,
             r_tile, wi_p,
             win, mode, l_r, l_c, bf16, paired, col_chunk, n_extra, win_c,
-            sub, term):
+            sub, term, fd):
     """One (row tile, slice-schedule step) grid step. out_ref (8, R, Wi)
     doubles as the compositing accumulator (VMEM-resident until the tile
     changes); rows [c_r, c_g, c_b, g_x, g_y, g_z, depth, trans->alpha].
@@ -269,10 +272,16 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
         # full-width gradient matmuls per plane.
         pg = pg_ref[0, :]  # (Wi,)
         qg = qg_ref[:, 0]  # (R,)
-        rows = r_tile + 2 if mode >= 1 else r_tile
-        if mode >= 1:
-            qge = jnp.concatenate(
-                [qg[0:1] - sc(S_DQ), qg, qg[r_tile - 1:r_tile] + sc(S_DQ)])
+        fd_on = mode >= 1 and fd
+        rows = r_tile + 2 if fd_on else r_tile
+        if fd_on:
+            # q is a uniform grid: tile t's halo-extended rows are
+            # qlo + (t*R - 1 + i) * dq, i in [0, R+2)
+            base = sc(S_QLO) + (t * r_tile - 1).astype(jnp.float32) * sc(
+                S_DQ)
+            ri = jax.lax.broadcasted_iota(
+                jnp.int32, (rows, 1), 0).astype(jnp.float32)[:, 0]
+            qge = base + ri * sc(S_DQ)
         else:
             qge = qg
         x2e = jnp.where(ortho, qge + sc(S_DW2) * lam,
@@ -282,16 +291,30 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
         vr_loc = jnp.clip(vr - row_base, 0.0, n_w - 1.0)
         # storage scale (normalized-int 1/max) folds into the row weights
         wr = _interp_w(vr_loc, n_w) * sc(S_GS)  # (rows, W)
-        t1 = None
+        t1 = t12 = None
         if win_c:
-            # transposed (Nc, rows) row-resample accumulator in scratch:
-            # each column chunk below dynamic-slices a sublane-aligned K
-            # window out of it, cutting the column contraction from Nc to
-            # win_c MACs per output (the hat matrix is 2-banded)
-            t1_scr[:, 0:rows] = row_dot_t(wr)
+            # transposed (Nc, rows | 2R) row-resample accumulator in
+            # scratch: each column chunk below dynamic-slices a sublane-
+            # aligned K window out of it, cutting the column contraction
+            # from Nc to win_c MACs per output (the hat matrix is
+            # 2-banded); the analytic-gradient path stacks the d/d(row)
+            # resample into the extra lanes
+            if mode >= 1 and not fd:
+                t1_scr[:, 0:r_tile] = row_dot_t(wr)
+                t1_scr[:, r_tile:2 * r_tile] = row_dot_t(
+                    _interp_dw(vr_loc, n_w) * sc(S_GS))
+            else:
+                t1_scr[:, 0:rows] = row_dot_t(wr)
+        elif mode >= 1 and not fd:
+            # analytic path: stack value + d/d(row) weight rows into one
+            # matmul (M = 2R fills the MXU)
+            wrs = jnp.concatenate(
+                [wr, _interp_dw(vr_loc, n_w) * sc(S_GS)], axis=0)
+            t12 = row_dot(wrs)  # (2R, Nc): [t1; g2row]
+            t1 = t12[:r_tile]
         else:
             t1 = row_dot(wr)  # (rows, Nc)
-        x2 = x2e[1:r_tile + 1] if mode >= 1 else x2e  # (R,)
+        x2 = x2e[1:r_tile + 1] if fd_on else x2e  # (R,)
         if mode == 2:
             cl = jnp.clip(z_rel / sc(S_EXA) * sc(S_NLA) - 0.5, 0.0,
                           sc(S_NLA) - 1.0)
@@ -321,7 +344,7 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
         la = sc(S_CLA)
         ha = sc(S_CHA)
 
-        if mode >= 1:
+        if fd_on:
             # pass A: resample the whole (halo-extended) fan plane into
             # scratch — the only per-plane matmul work
             for w in range(wi_p // col_chunk):
@@ -365,14 +388,25 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
                            sc(S_EW1) + pgc * lam)
             vc = jnp.clip((x1 - sc(S_LO1)) / sc(S_EX1) * n_c - 0.5, 0.0,
                           n_c - 1.0)
-            if mode >= 1:
+            smp2 = t1w = vc_loc = wc = None
+            if fd_on:
                 smp = smp_scr[1:r_tile + 1, cs]  # resampled in pass A
             elif win_c:
                 c0 = c0_ref[js, w] * 8
                 vc_loc = jnp.clip(vc - c0.astype(jnp.float32), 0.0,
                                   win_c - 1.0)
-                t1w = t1_scr[pl.dslice(c0, win_c), 0:r_tile]  # (Wc, R)
-                smp = _dot_t(t1w, _interp_w(vc_loc, win_c), bf16)  # (R, CC)
+                wc = _interp_w(vc_loc, win_c)  # (CC, Wc)
+                if mode >= 1:
+                    t1w = t1_scr[pl.dslice(c0, win_c), 0:2 * r_tile]
+                    smp2 = _dot_t(t1w, wc, bf16)  # (2R, CC)
+                    smp = smp2[:r_tile]
+                else:
+                    t1w = t1_scr[pl.dslice(c0, win_c), 0:r_tile]
+                    smp = _dot_t(t1w, wc, bf16)  # (R, CC)
+            elif mode >= 1:
+                wc = _interp_w(vc, n_c)  # (CC, Nc)
+                smp2 = _dot(t12, wc, bf16, trans_b=True)  # (2R, CC)
+                smp = smp2[:r_tile]
             else:
                 smp = _dot(t1, _interp_w(vc, n_c), bf16,
                            trans_b=True)  # (R, CC)
@@ -427,12 +461,25 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
             a = jnp.minimum(a, 1.0 - 1e-6)  # over_scan's A_MAX
 
             if mode >= 1:
-                # fan-FD gradient (reference semantics,
-                # shaders_common.h:195-215): lateral from the precomputed
-                # full-width FD, row-wise from the halo rows
-                g1 = g1_scr[:, cs]
-                g2 = (smp_scr[2:r_tile + 2, cs] - smp_scr[0:r_tile, cs]
-                      ) * (0.5 / (sc(S_DQ) * lamf))
+                if fd:
+                    # fan-FD gradient (reference semantics,
+                    # shaders_common.h:195-215): lateral from the
+                    # precomputed full-width FD, row-wise from halo rows
+                    g1 = g1_scr[:, cs]
+                    g2 = (smp_scr[2:r_tile + 2, cs] - smp_scr[0:r_tile, cs]
+                          ) * (0.5 / (sc(S_DQ) * lamf))
+                elif win_c:
+                    dwc = _interp_dw(vc_loc, win_c)
+                    # rows [R:] are d2/drow-dcol — wasted, but K=win_c is
+                    # small and it avoids a lane reslice
+                    g1 = _dot_t(t1w, dwc, bf16)[:r_tile] * (
+                        n_c / sc(S_EX1))
+                    g2 = smp2[r_tile:] * (n_r / sc(S_EX2))
+                else:
+                    dwc = _interp_dw(vc, n_c)
+                    g1 = _dot(t1, dwc, bf16,
+                              trans_b=True) * (n_c / sc(S_EX1))
+                    g2 = smp2[r_tile:] * (n_r / sc(S_EX2))
                 ds = jnp.where(j > 0, (smp - prev_s[:, cs]) / sc(S_DZDLAM),
                                0.0)
                 k1 = jnp.where(ortho, sc(S_K1O), pp)
@@ -629,7 +676,7 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
                            win_r: int = 0, bf16: bool = False,
                            n_extra: int = 0, win_c: int = 0,
                            col_chunk: int = 0, majorant_v=None,
-                           term: bool = True):
+                           term: bool = True, fd: bool = True):
     """Run the fused slice loop. grid_v (A, Nr, Nc) traversal-ordered
     volume (float32, bfloat16, uint8 or uint16 — integer slabs stream
     natively and normalize in-kernel); rgba_tab (K, 4) merged nodal table;
@@ -687,6 +734,7 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
     sc_f = sc_f.at[S_GS].set(jnp.float32(gs))
     sc_f = sc_f.at[S_DP].set(dp.astype(jnp.float32))
     sc_f = sc_f.at[S_DQ].set(dq.astype(jnp.float32))
+    sc_f = sc_f.at[S_QLO].set(qg_p[0].astype(jnp.float32))
     w0s = _window_offsets(sc_f, pg_p, qg_p.astype(jnp.float32),
                           k0, n_slices, n_r, r_tile, win, sub)
 
@@ -742,7 +790,7 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
         _kernel, n_r=n_r, n_c=n_c, n_orig=n_orig, n_chunks=n_chunks,
         r_tile=r_tile, wi_p=wi_p, win=win, mode=mode, l_r=l_r, l_c=l_c,
         bf16=bf16, paired=paired, col_chunk=cc, n_extra=n_extra,
-        win_c=win_c, sub=sub, term=term)
+        win_c=win_c, sub=sub, term=term, fd=fd)
     # index maps dereference the compacted schedule: block indices for
     # grid step (t, j) come from slice jf[t, j]; steps past n_act repeat
     # the last active slice, so their blocks are already resident and the
@@ -820,11 +868,12 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
         scratch_shapes=[
             pltpu.VMEM((r_tile, wi_p) if mode >= 1 else (8, 8),
                        jnp.float32),
-            pltpu.VMEM((n_c, r_tile + 8) if win_c else (8, 8),
+            pltpu.VMEM((n_c, 2 * r_tile if (mode >= 1 and not fd)
+                        else r_tile + 8) if win_c else (8, 8),
                        jnp.float32),
-            pltpu.VMEM((r_tile + 8, wi_p) if mode >= 1 else (8, 8),
-                       jnp.float32),
-            pltpu.VMEM((r_tile, wi_p) if mode >= 1 else (8, 8),
+            pltpu.VMEM((r_tile + 8, wi_p) if (mode >= 1 and fd)
+                       else (8, 8), jnp.float32),
+            pltpu.VMEM((r_tile, wi_p) if (mode >= 1 and fd) else (8, 8),
                        jnp.float32),
             pltpu.SMEM((1, 1), jnp.int32),
         ],

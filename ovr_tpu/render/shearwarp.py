@@ -93,6 +93,12 @@ class SwStatic:
     # early ray termination in the fused kernel (alpha >= 0.9999 + box
     # exit, `shaders_raymarching.cu:110`); forced off under differentiation
     term: bool = True
+    # shading-gradient stencil: fan-space finite differences (True; the
+    # reference's own FD semantics, shaders_common.h:195-215, and 3x fewer
+    # column matmuls — wins at the 1024^3 scale) vs the analytic bilinear
+    # derivative matmuls (False; wins for small planes where matmuls are
+    # cheap and the FD scratch round-trip is not)
+    fd_grad: bool = True
 
 
 def _np_basis(camera, width, height):
@@ -255,6 +261,9 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
         r_tile = min(r_tile, big_cap if big else 128)
     elif cfg.shading != "none" and big:
         r_tile = min(r_tile, big_cap)
+    import os
+    if os.environ.get("OVR_SW_RTILE"):  # compile-probe override
+        r_tile = int(os.environ["OVR_SW_RTILE"])
     win_r = rnds(int(np.ceil(1.25 * b_max * r_tile)) + 3 * sub_g)
     if win_r >= n_r:
         win_r = 0
@@ -276,7 +285,8 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
                     separable=separable, bf16=bool(cfg.sw_bf16),
                     pallas=pallas, r_tile=r_tile, win_r=win_r,
                     win_c=wcol, col_chunk=col_chunk,
-                    term=bool(getattr(cfg, "sw_term", True)))
+                    term=bool(getattr(cfg, "sw_term", True)),
+                    fd_grad=bool(big))
 
 
 # ---------------------------------------------------------------------------
@@ -474,7 +484,8 @@ def _run_fused(sw, params, n_s, mode, term):
         r_tile=sw.r_tile, win_r=sw.win_r, bf16=sw.bf16,
         n_extra=(params["eld"].shape[0] if "eld" in params else 0),
         win_c=sw.win_c, col_chunk=sw.col_chunk,
-        majorant_v=params.get("maj"), term=(term and sw.term))
+        majorant_v=params.get("maj"), term=(term and sw.term),
+        fd=sw.fd_grad)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -547,8 +558,9 @@ def _plane_fields(st, P, lam_j, k0_j, fz_j, want_grad=True):
     sl = jax.lax.dynamic_slice(grid, (k0_j, 0, 0), (2, n_r, n_c))
     # normalized-integer storage scale (`array.h:68-106`)
     plane = (sl[0] * (1.0 - fz_j) + sl[1] * fz_j) * storage_scale(grid.dtype)
+    fd = want_grad and getattr(sw, "fd_grad", True)
     qg = P["qg"]
-    if want_grad:
+    if fd:
         dq = qg[1] - qg[0]
         qg = jnp.concatenate([qg[0:1] - dq, qg, qg[-1:] + dq])
     if ortho:
@@ -565,6 +577,15 @@ def _plane_fields(st, P, lam_j, k0_j, fz_j, want_grad=True):
     smp_e = _mm(t1, wc.T, sw.bf16).astype(dt)  # (Hi[+2], Wi)
     if not want_grad:
         return smp_e, None, None, x1, x2e
+    if not fd:
+        # analytic bilinear-derivative gradient (small-plane stencil)
+        from ovr_tpu.ops.swslice import _interp_dw
+        dwc = _interp_dw(vc, n_c).astype(dt)
+        dwr = _interp_dw(vr, n_r).astype(dt)
+        g1 = _mm(t1, dwc.T, sw.bf16) * (n_c / P["ex1"])
+        g2 = _mm(_mm(dwr, plane, sw.bf16), wc.T, sw.bf16) * (
+            n_r / P["ex2"])
+        return smp_e, g1, g2, x1, x2e
     smp = smp_e[1:-1]
     x2 = x2e[1:-1]
     lamf = 1.0 if ortho else lam_j

@@ -219,3 +219,44 @@ def test_shadow_lattice_vs_march_high_frequency():
     m = a > 0.05
     err = np.abs(np.asarray(lat.rgba[..., :3]) - np.asarray(ref.rgba[..., :3]))
     assert err.max(-1)[m].mean() < 0.06, err.max(-1)[m].mean()
+
+
+@pytest.mark.parametrize("shading", ["diffuse", "shadow"])
+def test_fd_gradient_stencil_parity(shading):
+    """The fan-FD gradient stencil (the big-plane default, reference
+    semantics shaders_common.h:195-215): fused kernel == XLA slice loop,
+    and close to the analytic bilinear-derivative stencil."""
+    scene = _opaque_scene(48)
+    cfg = _cfg(scene, shading, sw_term=False)
+    sw_fd = dataclasses.replace(cfg.sw, fd_grad=True)
+    k = api.render(scene, dataclasses.replace(cfg, sw=sw_fd))
+    x = api.render(scene, dataclasses.replace(
+        cfg, sw=dataclasses.replace(sw_fd, pallas=False)))
+    np.testing.assert_allclose(np.asarray(k.rgba), np.asarray(x.rgba),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(k.grad), np.asarray(x.grad),
+                               atol=2e-5)
+    a = api.render(scene, cfg)  # analytic stencil (small-plane default)
+    assert cfg.sw.fd_grad is False
+    d = np.abs(np.asarray(k.rgba) - np.asarray(a.rgba))
+    assert d.mean() < 0.02, d.mean()
+
+
+def test_fd_gradient_backward_consistent():
+    """Gradients through the FD forward match the XLA FD scan autodiff
+    (the adjoint recompute uses the same stencil)."""
+    import dataclasses as dc
+    scene = _opaque_scene(32)
+    cfg = _cfg(scene, "diffuse", sw_term=False)
+    cfg_fd = dc.replace(cfg, sw=dc.replace(cfg.sw, fd_grad=True))
+
+    def loss(g, c):
+        sc = dc.replace(scene,
+                        volume=dc.replace(scene.volume, grid=g))
+        return jnp.mean(api.render(sc, c).rgba ** 2)
+
+    g_k = jax.grad(lambda g: loss(g, cfg_fd))(scene.volume.grid)
+    cfg_x = dc.replace(cfg, sw=dc.replace(cfg.sw, fd_grad=True,
+                                          pallas=False))
+    g_x = jax.grad(lambda g: loss(g, cfg_x))(scene.volume.grid)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x), atol=3e-5)
