@@ -258,7 +258,9 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
     big = wi >= 1024 or n_c_plane >= 512
     big_cap = 64 if vbytes <= 2 else 32
     if cfg.shading == "shadow":
-        r_tile = min(r_tile, big_cap if big else 128)
+        # shadow streams the (scale-aware) lattice planes on top of the
+        # FD scratches: r_tile 64 at the wide-fan scale OOMs VMEM by ~4 MB
+        r_tile = min(r_tile, 32 if big else 128)
     elif cfg.shading != "none" and big:
         r_tile = min(r_tile, big_cap)
     import os
