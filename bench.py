@@ -132,11 +132,12 @@ def main() -> None:
     from ovr_tpu.render import accel
     proxy = None
     if neural:
-        from ovr_tpu.neural.train import bake_grid
+        from ovr_tpu.neural.train import bake_grid_host
         r = int(os.environ.get("BENCH_PROXY", cfg.neural_proxy_res))
         cfg = dataclasses.replace(cfg, neural_proxy_res=r).resolved(scene)
         if cfg.sw is not None:
-            proxy = jax.block_until_ready(bake_grid(scene.volume, (r, r, r)))
+            proxy = jax.block_until_ready(
+                bake_grid_host(scene.volume, (r, r, r)))
         mc_grid = proxy if proxy is not None else scene.volume.grid
     else:
         mc_grid = scene.volume.grid

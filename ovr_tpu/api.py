@@ -777,10 +777,12 @@ class Renderer:
         if (self._cfg.sw is not None and self._proxy_grid is None
                 and not hasattr(self.scene.volume, "grid")):
             # neural field: amortize the proxy bake across frames (rebaked
-            # only when the volume changes, like the shadow lattice)
-            from ovr_tpu.neural.train import bake_grid
+            # only when the volume changes, like the shadow lattice);
+            # slab-wise host dispatches keep big bakes within runtime
+            # execution limits
+            from ovr_tpu.neural.train import bake_grid_host
             r = int(self._cfg.neural_proxy_res)
-            self._proxy_grid = bake_grid(self.scene.volume, (r, r, r))
+            self._proxy_grid = bake_grid_host(self.scene.volume, (r, r, r))
 
     def render(self) -> None:
         import time

@@ -134,3 +134,28 @@ def bake_grid(field: NeuralFieldVolume, dims: tuple[int, int, int],
     p_pad = jnp.pad(p, ((0, pad), (0, 0)))
     out = jax.lax.map(eval_chunk, p_pad.reshape(-1, chunk, 3))
     return out.reshape(-1)[:n].reshape(Z, Y, X)
+
+
+def bake_grid_host(field: NeuralFieldVolume, dims: tuple[int, int, int],
+                   max_slab_points: int = 1 << 24) -> jnp.ndarray:
+    """`bake_grid` as a host-side loop of per-Z-slab device dispatches.
+
+    A 512^3 bake is ~134M hash-grid lookups; as one device program it can
+    trip runtime execution limits, so the host driver (Renderer.commit,
+    bench) bakes slab by slab (~16M points each) and concatenates on
+    device. Not traceable — use `bake_grid` inside jit (the
+    differentiable path)."""
+    X, Y, Z = dims
+    per_plane = X * Y
+    zs_per = max(1, max_slab_points // per_plane)
+
+    @jax.jit
+    def one_slab(f, z0):
+        xs = (jnp.arange(X) + 0.5) / X
+        ys = (jnp.arange(Y) + 0.5) / Y
+        zs = jnp.clip((z0 + jnp.arange(zs_per) + 0.5) / Z, 0.0, 1.0)
+        p = jnp.stack(jnp.meshgrid(zs, ys, xs, indexing="ij")[::-1], -1)
+        return field_sample(f, p.reshape(-1, 3)).reshape(zs_per, Y, X)
+
+    slabs = [one_slab(field, jnp.int32(z0)) for z0 in range(0, Z, zs_per)]
+    return jnp.concatenate(slabs, axis=0)[:Z]

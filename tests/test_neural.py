@@ -164,3 +164,12 @@ def test_proxy_gradients_reach_weights_fd():
           - float(loss(jnp.asarray(t0 - eps * v)))) / (2 * eps)
     np.testing.assert_allclose(float((gn * v).sum()), fd, rtol=0.08,
                                atol=1e-7)
+
+
+def test_bake_grid_host_matches_traced():
+    """The slab-wise host bake equals the traceable bake."""
+    from ovr_tpu.neural.train import bake_grid_host
+    field = init_field(jax.random.PRNGKey(5), CFG, hidden=16, n_hidden=1)
+    a = bake_grid(field, (16, 12, 8), chunk=64)
+    b = bake_grid_host(field, (16, 12, 8), max_slab_points=8 * 12 * 5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
