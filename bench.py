@@ -79,8 +79,6 @@ def main() -> None:
     method = os.environ.get("BENCH_METHOD", "auto")
     store = os.environ.get("BENCH_STORE",
                            "bf16" if grid_n >= 512 else "f32")
-    if os.environ.get("BENCH_TIMEVAR"):
-        store = "f32"  # the streamed timesteps are host float32
 
     scene = build_scene(grid_n)
     if store != "f32":
@@ -242,6 +240,11 @@ def main() -> None:
             ph = 2 * np.pi * k / k_steps
             gk = (0.5 + 0.35 * np.sin(12 * x + ph) * np.cos(10 * y)
                   * np.sin(8 * zz - ph)).astype(np.float32)
+            if store == "bf16":  # stream in storage dtype: half the
+                import ml_dtypes  # host RAM, transfer and HBM residency
+                gk = gk.astype(ml_dtypes.bfloat16)
+            elif store == "u8":
+                gk = np.clip(np.round(gk * 255), 0, 255).astype(np.uint8)
             host_steps.append(gk)
         pending = {0: jax.device_put(host_steps[0])}
 

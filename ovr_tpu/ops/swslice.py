@@ -784,7 +784,10 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
         c0s = _col_offsets(sc_f, pg_p.astype(jnp.float32), n_slices, n_c,
                            cc, win_c)
     else:
-        c0s = jnp.zeros((n_slices, max(wi_p // cc, 1)), jnp.int32)
+        # unused without the windowed contraction — keep it tiny: SMEM
+        # pads the minor dim to 128 lanes, so a (S, 16) placeholder would
+        # cost 512 KB of scarce SMEM (the r_tile-32 shadow OOM)
+        c0s = jnp.zeros((1, 1), jnp.int32)
 
     kernel = functools.partial(
         _kernel, n_r=n_r, n_c=n_c, n_orig=n_orig, n_chunks=n_chunks,
