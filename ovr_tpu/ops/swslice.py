@@ -770,6 +770,8 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
         # weights (wc, + dwc when shaded) would blow VMEM (shaded kernels
         # keep a bigger live set, so their chunk budget is tighter — this
         # is what lets r_tile stay 64 at the 1024^3 scale)
+        # shaded chunks stay tight: widening them (cc 256 via w_mult=1
+        # for the FD path) compile-OOMs VMEM at the 1024-scale r_tile 64
         w_mult = 2 if mode >= 1 else 1
         cap = (3 << 20) if mode == 0 else (1 << 20)
         m = wi_p // LANES
