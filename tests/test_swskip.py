@@ -260,3 +260,24 @@ def test_fd_gradient_backward_consistent():
                                           pallas=False))
     g_x = jax.grad(lambda g: loss(g, cfg_x))(scene.volume.grid)
     np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x), atol=3e-5)
+
+
+@pytest.mark.slow
+def test_native_u8_paired_streaming():
+    """u8 slabs through the block-pair (windowed) streaming path — the
+    1024^3-class configuration, forced at small scale by shrinking the
+    row window (32-row granule for int8 tiling)."""
+    scene = _opaque_scene(128)
+    raw = np.clip(np.round(np.asarray(scene.volume.grid) * 255), 0, 255
+                  ).astype(np.uint8)
+    sc8 = dataclasses.replace(
+        scene, volume=dataclasses.replace(scene.volume,
+                                          grid=jnp.asarray(raw)))
+    cfg = api.RenderConfig(width=96, height=72, sampling_rate=96.0,
+                           shading="diffuse", method="shearwarp",
+                           sw_term=False).resolved(sc8)
+    sw = dataclasses.replace(cfg.sw, win_r=64, r_tile=32)
+    out = api.render(sc8, dataclasses.replace(cfg, sw=sw))
+    ref = api.render(sc8, cfg)  # unpaired path, same u8 data
+    np.testing.assert_allclose(np.asarray(out.rgba), np.asarray(ref.rgba),
+                               atol=2e-5)
