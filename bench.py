@@ -81,6 +81,13 @@ def main() -> None:
                            "bf16" if grid_n >= 512 else "f32")
 
     scene = build_scene(grid_n)
+    if os.environ.get("BENCH_OPAQUE", "") == "1":
+        # opaque transfer function: rays saturate within a few samples —
+        # the reference's early-exit showcase (shaders_raymarching.cu:110)
+        import jax.numpy as jnp
+        tfn = dataclasses.replace(
+            scene.tfn, alpha=jnp.linspace(0.5, 1.0, 16))
+        scene = dataclasses.replace(scene, tfn=tfn)
     if store != "f32":
         import jax.numpy as jnp
         vol = scene.volume
@@ -320,6 +327,7 @@ def main() -> None:
                + ("-mm16" if bf16_mm else "")
                + ("" if term else "-noterm") + ("" if skip else "-noskip")
                + ("-cw" if colwin else "")
+               + ("-opq" if os.environ.get("BENCH_OPAQUE") == "1" else "")
                + (f"-as{adaptive:g}" if adaptive != 1.0 else "")
                + (f"-pt{pt}" if pt else "")
                + (f"-tv{os.environ['BENCH_TIMEVAR']}"
