@@ -228,7 +228,10 @@ def main() -> None:
             return jax.grad(loss, argnums=(0, 1))(grid, alpha)
 
         def frame(i, chain):
-            g, a = grad_step(scene.volume.grid + chain, scene.tfn.alpha)
+            # keep the chain in the grid's storage dtype: f32 + bf16
+            # promotes the whole volume to f32 inside the kernel (VMEM)
+            g = scene.volume.grid + chain.astype(scene.volume.grid.dtype)
+            g, a = grad_step(g, scene.tfn.alpha)
             return Out(g.mean() + a.mean())
 
         class Out:

@@ -269,9 +269,29 @@ def render_frame(scene, cfg, camera, key, macrocells=None):
         else:
             sc = screen
         org, direction = generate_rays(camera, sc, cfg.width, cfg.height)
-        color, alpha = trace_paths(leaves, lo, hi, org, direction,
-                                   jax.random.fold_in(skey, 3), ambient,
-                                   ptcfg, macrocells)
+
+        def trace(o, d):
+            return trace_paths(leaves, lo, hi, o, d,
+                               jax.random.fold_in(skey, 3), ambient,
+                               ptcfg, macrocells)
+
+        c = cfg.ray_chunk
+        if c and n > c:
+            # chunk the launch: bounds the tracker's working set (big
+            # dense launches fault the runtime) and localizes the
+            # scatter while_loop's exit to a chunk
+            k = -(-n // c)
+            pad = k * c - n
+            org_p = jnp.pad(org, ((0, pad), (0, 0)))
+            dir_p = jnp.pad(direction, ((0, pad), (0, 0)),
+                            constant_values=1.0)
+            outs = jax.lax.map(lambda ar: trace(*ar),
+                               (org_p.reshape(k, c, 3),
+                                dir_p.reshape(k, c, 3)))
+            color = outs[0].reshape(k * c, 3)[:n]
+            alpha = outs[1].reshape(k * c)[:n]
+        else:
+            color, alpha = trace(org, direction)
         return (acc[0] + color, acc[1] + alpha)
 
     zero = (jnp.zeros((n, 3), cfg.dtype), jnp.zeros((n,), cfg.dtype))
