@@ -246,7 +246,13 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
         win_c = min(win_c, n_r)
         vol_bytes = (2 * 4 * win_c * n_c_plane * vbytes if win_c < n_r
                      else 2 * 2 * n_r * n_c_plane * vbytes)
-        est = (2 * 8 * rt_c * wi * 4 + rt_c * wi * 4 + vol_bytes)
+        # shaded modes add the FD scratches (smp_scr + g1_scr + prev_s)
+        # and a live weight chunk — without this term a steep-window fan
+        # (short screens at 1024-class volumes) picks r_tile 64 and
+        # compile-OOMs by ~2 MB
+        extra = (3 * rt_c * wi * 4 + (1 << 20)
+                 if cfg.shading != "none" else 0)
+        est = (2 * 8 * rt_c * wi * 4 + rt_c * wi * 4 + vol_bytes + extra)
         r_tile, win_r = rt_c, (win_c if win_c < n_r else 0)
         if est <= budget:
             break
