@@ -82,12 +82,20 @@ def main() -> None:
 
     scene = build_scene(grid_n)
     if os.environ.get("BENCH_OPAQUE", "") == "1":
-        # opaque transfer function: rays saturate within a few samples —
-        # the reference's early-exit showcase (shaders_raymarching.cu:110)
+        # opaque material: rays saturate within a few samples — the
+        # reference's early-exit showcase (shaders_raymarching.cu:110).
+        # The alpha table alone is not enough: opacity correction at the
+        # metric sampling rate (dt ~ 1/1024) turns table-alpha 0.75 into
+        # ~0.001/plane, so the base rate must scale too (the table is
+        # alpha per base-rate step; an opaque TF means ~saturating alpha
+        # per SAMPLE, as in the reference's per-sample classification)
         import jax.numpy as jnp
         tfn = dataclasses.replace(
-            scene.tfn, alpha=jnp.linspace(0.5, 1.0, 16))
+            scene.tfn, alpha=jnp.linspace(0.6, 1.0, 16))
         scene = dataclasses.replace(scene, tfn=tfn)
+        base_rate_v = float(os.environ.get("BENCH_OPAQUE_BASE", rate / 4))
+    else:
+        base_rate_v = 1.0
     if store != "f32":
         import jax.numpy as jnp
         vol = scene.volume
@@ -127,6 +135,7 @@ def main() -> None:
     colwin = os.environ.get("BENCH_COLWIN", "") == "1"
     cfg = api.RenderConfig(
         width=width, height=height, spp=1, sampling_rate=rate,
+        base_rate=base_rate_v,
         shading=shading, fast_math=True, use_macrocells=True, method=method,
         ray_chunk=int(ray_chunk) if ray_chunk else None,
         adaptive_scale=adaptive, sw_bf16=bf16_mm, sw_term=term,
@@ -143,12 +152,17 @@ def main() -> None:
         if cfg.sw is not None:
             proxy = jax.block_until_ready(
                 bake_grid_host(scene.volume, (r, r, r)))
-        mc_grid = proxy if proxy is not None else scene.volume.grid
+        # no proxy baked (e.g. BENCH_METHOD=march): the neural field has
+        # no dense grid to partition — render without macrocells
+        mc_grid = proxy
     else:
         mc_grid = scene.volume.grid
-    mc = accel.build_macrocells(mc_grid, scene.tfn.alpha,
-                                scene.tfn.value_range)
-    mc = jax.device_put(mc)
+    if mc_grid is not None:
+        mc = accel.build_macrocells(mc_grid, scene.tfn.alpha,
+                                    scene.tfn.value_range)
+        mc = jax.device_put(mc)
+    else:
+        mc = None
 
     mesh_spec = os.environ.get("BENCH_MESH", "")  # "TxB", e.g. "4x2"
     backward = os.environ.get("BENCH_BACKWARD", "") == "1"
@@ -346,7 +360,12 @@ def main() -> None:
     if cfg_key in book:
         base = book[cfg_key]
     else:
-        base = book[cfg_key] = rays_per_s
+        # first measurement of a new config key: freeze it as the baseline
+        # for FUTURE rounds but report vs_baseline null now, so the driver
+        # can tell "new config" from "no regression" (a self-ratio of 1.0
+        # would hide a regression in a new-this-round config forever)
+        base = None
+        book[cfg_key] = rays_per_s
         with open(baseline_path, "w") as f:
             json.dump(book, f, indent=2, sort_keys=True)
 
@@ -368,7 +387,7 @@ def main() -> None:
                   f"{width}x{height}, {shading} shading, {desc})",
         "value": rays_per_s,
         "unit": "rays/s",
-        "vs_baseline": rays_per_s / base,
+        "vs_baseline": (rays_per_s / base) if base else None,
     }))
 
 

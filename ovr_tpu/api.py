@@ -71,6 +71,11 @@ class RenderConfig:
     # macrocell empty-slice skipping inside the fused kernel (pass
     # macrocells= to render(); `accel/dda.h` semantics)
     sw_skip: bool = True
+    # persistent manual-DMA fused kernel: one grid step per row tile, the
+    # slice schedule runs as an in-kernel while loop with exact-window
+    # double-buffered async copies — early termination stops the slab
+    # STREAM, not just compute (`shaders_raymarching.cu:87-171,110`)
+    sw_persist: bool = True
     sw: Any = None  # resolved shear-warp plan (SwStatic; set by resolved())
     shading: str = ig.SHADING_SHADOW
     shadow_scale: float = 10.0

@@ -75,6 +75,36 @@ def _fwd(f, n_steps, params):
     return out, (params, out[1])
 
 
+def _slab_window(params, n_steps):
+    """Slab-windowed adjoint eligibility: when `params` is the shear-warp
+    slice-loop dict (a 3D inexact "grid" sliced per step at
+    k0f[k]..k0f[k]+1), return the static slab-window size W such that the
+    slab pairs of steps k and k-1 always fit in a W-slab window; else None.
+
+    This is THE backward-pass memory-traffic lever: a per-step `jax.vjp`
+    over the full grid materializes a dense zeros-except-two-slabs grid
+    cotangent and adds it to a full-size carry — O(n_steps * grid_bytes)
+    HBM traffic (~13 TB/step-sweep at 1024^3, the measured 14 s/step).
+    Gathering the step's slab window BEFORE the vjp and scatter-adding
+    only the window's cotangent cuts that to O(n_steps * slab_bytes).
+    """
+    if not isinstance(params, dict) or "jlat" in params:
+        return None
+    g = params.get("grid")
+    k0f = params.get("k0f")
+    if g is None or k0f is None or getattr(g, "ndim", 0) != 3:
+        return None
+    if not jnp.issubdtype(g.dtype, jnp.inexact):
+        return None  # integer storage: no tangent space
+    n_a = g.shape[0]
+    # consecutive k0 advance at most ceil(n_a / n_steps) slabs
+    adv = -(-n_a // max(n_steps, 1))
+    w = min(n_a, 2 + adv)
+    if w >= n_a:
+        return None  # window would be the whole grid: no win
+    return w
+
+
 def adjoint_sweep(f, n_steps, params, t_final, v_bar, t_bar):
     """The analytic reverse sweep: given the forward's final transmittance
     `t_final` and output cotangents (v_bar for V, t_bar for T), recompute
@@ -84,7 +114,15 @@ def adjoint_sweep(f, n_steps, params, t_final, v_bar, t_bar):
     Usable standalone as the backward of ANY forward that computes the same
     over-compositing recurrence (e.g. the fused Pallas slice kernel): only
     (params, t_final) must be saved.
+
+    When `params` is the shear-warp P dict (3D "grid" + per-step "k0f"
+    slab indices), the grid cotangent is accumulated slab-locally (see
+    `_slab_window`) in float32 and cast to the grid dtype at the end.
     """
+    w_slab = _slab_window(params, n_steps)
+    if w_slab is not None:
+        return _adjoint_sweep_sliced(f, n_steps, params, t_final, v_bar,
+                                     t_bar, w_slab)
 
     def step_val(p, k):
         v, a = f(p, k)
@@ -123,6 +161,76 @@ def adjoint_sweep(f, n_steps, params, t_final, v_bar, t_bar):
         next(it) if ok else np.zeros(np.shape(x), jax.dtypes.float0)
         for x, ok in zip(leaves, is_float)]
     return jax.tree_util.tree_unflatten(treedef, out_leaves)
+
+
+def _adjoint_sweep_sliced(f, n_steps, params, t_final, v_bar, t_bar, w):
+    """`adjoint_sweep` with slab-windowed grid-cotangent accumulation.
+
+    Per reverse step: gather the w-slab window covering the slab pairs
+    read by steps k and k-1 (the shaded step recomputes the previous
+    plane for its axial FD), run the per-step vjp against the WINDOW, and
+    scatter-add only the window's cotangent into the running grid
+    cotangent — O(slab) instead of O(grid) HBM traffic per step. The
+    step function is reused untouched: it receives a params dict whose
+    "grid" is the window and whose "k0f" is shifted into window
+    coordinates (it only reads entries k and k-1 in step k)."""
+    grid = params["grid"]
+    n_a, n_r, n_c = grid.shape
+    k0f = params["k0f"]
+    other = {k: v for k, v in params.items() if k != "grid"}
+
+    leaves, treedef = jax.tree_util.tree_flatten(other)
+    is_float = [jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact)
+                for x in leaves]
+    zero_f = [jnp.zeros_like(x) for x, ok in zip(leaves, is_float) if ok]
+    dgrid0 = jnp.zeros(grid.shape, jnp.float32)
+
+    def body(carry, k):
+        trans_next, run, pb_f, dgrid = carry
+        km = jnp.maximum(k - 1, 0)
+        k0a = k0f[k].astype(jnp.int32)
+        k0b = k0f[km].astype(jnp.int32)
+        kb = jnp.clip(jnp.minimum(k0a, k0b), 0, n_a - w)
+        mini = jax.lax.dynamic_slice(grid, (kb, 0, 0), (w, n_r, n_c))
+
+        def step_val(p2, mini_g):
+            p = dict(p2)
+            p["grid"] = mini_g
+            p["k0f"] = p2["k0f"] - kb.astype(p2["k0f"].dtype)
+            v, a = f(p, k)
+            return v, jnp.clip(a, 0.0, A_MAX)
+
+        (v, a), vjp_f = jax.vjp(step_val, other, mini)
+        one_m = jnp.maximum(1.0 - a, 1e-12)
+        trans = trans_next / one_m
+        wdot = jnp.sum(v_bar * v, axis=-1)
+        a_bar = trans * wdot - (run + t_bar * t_final) / one_m
+        v_bar_k = (trans * a)[..., None] * v_bar
+        (o_contrib, m_contrib) = vjp_f((v_bar_k, a_bar))
+        dgrid = jax.lax.dynamic_update_slice(
+            dgrid,
+            jax.lax.dynamic_slice(dgrid, (kb, 0, 0), (w, n_r, n_c))
+            + m_contrib.astype(jnp.float32),
+            (kb, 0, 0))
+        c_leaves = jax.tree_util.tree_leaves(o_contrib)
+        c_f = [c for c, ok in zip(c_leaves, is_float) if ok]
+        pb_f = [b + c for b, c in zip(pb_f, c_f)]
+        run = run + trans * a * wdot
+        return (trans, run, pb_f, dgrid), None
+
+    run0 = jnp.zeros(t_final.shape, t_final.dtype)
+    (_, _, pb_f, dgrid), _ = jax.lax.scan(
+        body, (t_final, run0, zero_f, dgrid0),
+        jnp.arange(n_steps - 1, -1, -1))
+    import numpy as np
+    it = iter(pb_f)
+    out_leaves = [
+        next(it) if ok else np.zeros(np.shape(x), jax.dtypes.float0)
+        for x, ok in zip(leaves, is_float)]
+    out = jax.tree_util.tree_unflatten(treedef, out_leaves)
+    out = dict(out)
+    out["grid"] = dgrid.astype(grid.dtype)
+    return out
 
 
 def _bwd(f, n_steps, res, cots):

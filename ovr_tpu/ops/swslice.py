@@ -166,103 +166,52 @@ def _dot_t(a, b, bf16):
                                preferred_element_type=jnp.float32)
 
 
-def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
-            vol0a_ref, vol0b_ref, vol1a_ref, vol1b_ref, lg0_ref, lg1_ref,
-            pg_ref, qg_ref, tab_ref, sc_ref, out_ref, prev_s, t1_scr,
-            smp_scr, g1_scr, alive_ref, *, n_r, n_c, n_orig, n_chunks,
-            r_tile, wi_p,
-            win, mode, l_r, l_c, bf16, paired, col_chunk, n_extra, win_c,
-            sub, term, fd):
-    """One (row tile, slice-schedule step) grid step. out_ref (8, R, Wi)
-    doubles as the compositing accumulator (VMEM-resident until the tile
-    changes); rows [c_r, c_g, c_b, g_x, g_y, g_z, depth, trans->alpha].
+def _up(x):
+    """Integer / compact slabs -> f32 on the VPU after the DMA (Mosaic
+    has no direct uint8/16 -> f32 cast; hop via int32)."""
+    if x.dtype == jnp.float32:
+        return x
+    if x.dtype in (jnp.uint8, jnp.uint16):
+        return x.astype(jnp.int32).astype(jnp.float32)
+    return x.astype(jnp.float32)
 
-    Step j of tile t processes slice jf_ref[t, j] of the global plane
-    schedule (the compacted active-slice list); steps >= na_ref[t] and
-    steps after the tile's rays saturate are skipped.
 
-    `paired`: block-pair streaming — each slab arrives as two consecutive
-    (WB=win)-row HBM blocks (vol*a/vol*b at block rows wb, wb+1) instead of
-    the full plane, so HBM traffic and VMEM scale with the row *window*,
-    not the plane (the 1024^3-class path). Unpaired: vol*b alias vol*a and
-    hold the whole plane."""
-    t = pl.program_id(0)
-    j = pl.program_id(1)
-    n_slices = pl.num_programs(1)
+def _slice_body(js, j_pos, t, sc, make_dots, n_w, row_base, light_pk,
+                light_pk1, pg_ref, qg_ref, tab_ref, out_ref, prev_s,
+                t1_scr, smp_scr, g1_scr, c0_ref, *, n_r, n_c, n_orig,
+                n_chunks, r_tile, wi_p, wi_i, mode, l_r, l_c, bf16,
+                col_chunk, n_extra, win_c, term, fd, n_cb=None, l_cb=None):
+    """Resample, classify, shade and composite ONE slice plane into
+    out_ref (8, R, Wi) — the VMEM compositing accumulator, rows
+    [c_r, c_g, c_b, g_x, g_y, g_z, depth, trans]. Shared by the
+    BlockSpec-pipelined kernel (`_kernel`) and the persistent manual-DMA
+    kernel (`_kernel_persist`).
 
-    @pl.when(j == 0)
-    def _init():
-        out_ref[0:7, :, :] = jnp.zeros((7, r_tile, wi_p), jnp.float32)
-        out_ref[7, :, :] = jnp.ones((r_tile, wi_p), jnp.float32)
-        if mode >= 1:
-            prev_s[:, :] = jnp.zeros((r_tile, wi_p), jnp.float32)
-        if term:
-            alive_ref[0, 0] = 1
+    `make_dots(fz)` -> (row_dot, row_dot_t): contract interpolation rows
+    (R, n_w) with the z-lerped slab window — the caller binds them over
+    whatever buffers its streaming scheme fills. `row_base` is the
+    window's first source row (f32). `j_pos` is the schedule step (the
+    axial-FD prev_s is valid only for j_pos > 0). Returns the tile's
+    "any ray can still contribute" bool (early termination)."""
+    jf = js.astype(jnp.float32)
+    z_rel = (jf + sc(S_OFF)) * sc(S_DZ)
+    lam = z_rel * sc(S_DLAM) + sc(S_LAM0)
+    ortho = sc(S_ORTHO) > 0.5
 
-    def sc(i):
-        return sc_ref[0, i]
-
-    js = jf_ref[t, j]  # actual slice index in the global schedule
-    go = j < na_ref[t]
-    if term:
-        go = go & (alive_ref[0, 0] == 1)
-
-    @pl.when(go)
-    def _body():
-        jf = js.astype(jnp.float32)
-        z_rel = (jf + sc(S_OFF)) * sc(S_DZ)
-        lam = z_rel * sc(S_DLAM) + sc(S_LAM0)
-        ortho = sc(S_ORTHO) > 0.5
-
-        # z-lerp weight (fz recomputed to match the prefetched
-        # k0 = clip(floor(c), 0, n_a - 2)); axial texel mapping goes
-        # through the sample box (S_SMP0/S_SMPSC) = the global box unbricked
-        c = jnp.clip((z_rel - sc(S_SMP0)) * sc(S_SMPSC) - 0.5, 0.0,
-                     sc(S_NA) - 1.0)
-        kf = jnp.clip(jnp.floor(c), 0.0, sc(S_NA) - 2.0)
-        fz = c - kf
-
-        def up(x):
-            # integer / compact slabs -> f32 on the VPU after the DMA
-            # (Mosaic has no direct uint8/16 -> f32 cast; hop via int32)
-            if x.dtype == jnp.float32:
-                return x
-            if x.dtype in (jnp.uint8, jnp.uint16):
-                return x.astype(jnp.int32).astype(jnp.float32)
-            return x.astype(jnp.float32)
-
-        # window of source rows this row tile touches (prefetched in units
-        # of `sub` rows so Mosaic can prove sublane alignment of the
-        # dynamic slice). Paired mode avoids value-level dynamic slicing
-        # (no Mosaic lowering): interpolation rows are built in block-PAIR
-        # coordinates and the row matmul splits across the two blocks.
-        w0 = w0_ref[t, js] * sub
-        if paired:
-            row_base = (wb_ref[t, js] * win).astype(jnp.float32)
-            plane_a = up(vol0a_ref[0]) * (1.0 - fz) + up(vol1a_ref[0]) * fz
-            plane_b = up(vol0b_ref[0]) * (1.0 - fz) + up(vol1b_ref[0]) * fz
-            n_w = 2 * win
-
-            def row_dot(w):
-                return (_dot(w[:, :win], plane_a, bf16)
-                        + _dot(w[:, win:], plane_b, bf16))
-
-            def row_dot_t(w):  # (R, n_w) -> (Nc, R)
-                return (_dot_t(plane_a, w[:, :win], bf16)
-                        + _dot_t(plane_b, w[:, win:], bf16))
-        else:
-            row_base = w0.astype(jnp.float32)
-            win0 = up(vol0a_ref[0, pl.dslice(w0, win), :])
-            win1 = up(vol1a_ref[0, pl.dslice(w0, win), :])
-            plane_w = win0 * (1.0 - fz) + win1 * fz  # (W, Nc)
-            n_w = win
-
-            def row_dot(w):
-                return _dot(w, plane_w, bf16)
-
-            def row_dot_t(w):  # (R, n_w) -> (Nc, R)
-                return _dot_t(plane_w, w, bf16)
-
+    # z-lerp weight (fz recomputed to match the prefetched
+    # k0 = clip(floor(c), 0, n_a - 2)); axial texel mapping goes
+    # through the sample box (S_SMP0/S_SMPSC) = the global box unbricked
+    c = jnp.clip((z_rel - sc(S_SMP0)) * sc(S_SMPSC) - 0.5, 0.0,
+                 sc(S_NA) - 1.0)
+    kf = jnp.clip(jnp.floor(c), 0.0, sc(S_NA) - 2.0)
+    fz = c - kf
+    row_dot, row_dot_t = make_dots(fz)
+    # buffer widths: the persistent path pads the streamed buffers' minor
+    # dims to 128 lanes (HBM DMA slice alignment); the clipped positions
+    # never exceed the REAL extents, so pad columns carry zero hat weight
+    n_cb = n_c if n_cb is None else n_cb
+    l_cb = l_c if l_cb is None else l_cb
+    if True:
         # row-shared quantities (independent of fan columns). Shaded modes
         # resample one HALO row beyond each tile edge (the fan q grid is
         # uniform, so the halo q values are just +-dq) and take the
@@ -321,7 +270,7 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
             kl = jnp.clip(jnp.floor(cl), 0.0, sc(S_NLA) - 2.0)
             fzl = cl - kl
             # the lattice spans the GLOBAL box (S_G*), not the sample box
-            lplane = lg0_ref[0] * (1.0 - fzl) + lg1_ref[0] * fzl
+            lplane = light_pk * (1.0 - fzl) + light_pk1 * fzl
             lvr = jnp.clip((x2 - sc(S_GLO2)) / sc(S_GEX2) * l_r - 0.5, 0.0,
                            l_r - 1.0)
             lt = _dot(_interp_w(lvr, l_r), lplane, bf16)  # (R, Lc)
@@ -362,7 +311,7 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
                         t1w, _interp_w(vcl, win_c), bf16)
                 else:
                     smp_scr[0:rows, cs] = _dot(
-                        t1, _interp_w(vcc, n_c), bf16, trans_b=True)
+                        t1, _interp_w(vcc, n_cb), bf16, trans_b=True)
             # lateral gradient (d smp / d x1) by central FD over the fan
             # columns, one-sided at the fan border; Dx1 = dp (ortho) or
             # dp * lam (perspective central projection)
@@ -373,8 +322,10 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
             bwd = s_mid - pltpu.roll(s_mid, 1, 1)
             col = jax.lax.broadcasted_iota(jnp.int32, (r_tile, wi_p), 1)
             cen = 0.5 * (fwd + bwd)
+            # one-sided at the REAL fan's last column (wi_i - 1), matching
+            # the XLA fallback's unpadded border; pad columns are discarded
             g1v = jnp.where(col == 0, fwd,
-                            jnp.where(col == wi_p - 1, bwd, cen))
+                            jnp.where(col >= wi_i - 1, bwd, cen))
             g1_scr[:, :] = g1v / (sc(S_DP) * lamf)
 
         any_alive = jnp.zeros((), jnp.bool_)
@@ -404,11 +355,11 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
                     t1w = t1_scr[pl.dslice(c0, win_c), 0:r_tile]
                     smp = _dot_t(t1w, wc, bf16)  # (R, CC)
             elif mode >= 1:
-                wc = _interp_w(vc, n_c)  # (CC, Nc)
+                wc = _interp_w(vc, n_cb)  # (CC, Nc)
                 smp2 = _dot(t12, wc, bf16, trans_b=True)  # (2R, CC)
                 smp = smp2[:r_tile]
             else:
-                smp = _dot(t1, _interp_w(vc, n_c), bf16,
+                smp = _dot(t1, _interp_w(vc, n_cb), bf16,
                            trans_b=True)  # (R, CC)
 
             # exact per-pixel plane/ray interval overlap (inline slab test)
@@ -476,12 +427,12 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
                         n_c / sc(S_EX1))
                     g2 = smp2[r_tile:] * (n_r / sc(S_EX2))
                 else:
-                    dwc = _interp_dw(vc, n_c)
+                    dwc = _interp_dw(vc, n_cb)
                     g1 = _dot(t1, dwc, bf16,
                               trans_b=True) * (n_c / sc(S_EX1))
                     g2 = smp2[r_tile:] * (n_r / sc(S_EX2))
-                ds = jnp.where(j > 0, (smp - prev_s[:, cs]) / sc(S_DZDLAM),
-                               0.0)
+                ds = jnp.where(j_pos > 0,
+                               (smp - prev_s[:, cs]) / sc(S_DZDLAM), 0.0)
                 k1 = jnp.where(ortho, sc(S_K1O), pp)
                 k2 = jnp.where(ortho, sc(S_K2O), qq)
                 ga = (ds - g1 * k1 - g2 * k2) * sc(S_INVDA)
@@ -493,7 +444,7 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
                     lvc = jnp.clip(
                         (x1 - sc(S_GLO1)) / sc(S_GEX1) * l_c - 0.5,
                         0.0, l_c - 1.0)
-                    sh = _dot(lt, _interp_w(lvc, l_c), bf16, trans_b=True)
+                    sh = _dot(lt, _interp_w(lvc, l_cb), bf16, trans_b=True)
                     shadow = jnp.clip(sh, 0.0, 1.0)
                 else:
                     shadow = 0.0
@@ -539,6 +490,100 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
                 any_alive = any_alive | jnp.any(
                     (trans_next > T_EPS) & (exit_t > lam))
 
+        return any_alive
+
+
+def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
+            vol0a_ref, vol0b_ref, vol1a_ref, vol1b_ref, lg0_ref, lg1_ref,
+            pg_ref, qg_ref, tab_ref, sc_ref, out_ref, prev_s, t1_scr,
+            smp_scr, g1_scr, alive_ref, *, n_r, n_c, n_orig, n_chunks,
+            r_tile, wi_p, wi_i, win, mode, l_r, l_c, bf16, paired,
+            col_chunk, n_extra, win_c, sub, term, fd):
+    """One (row tile, slice-schedule step) grid step of the BlockSpec-
+    pipelined kernel. out_ref (8, R, Wi) doubles as the compositing
+    accumulator (VMEM-resident until the tile changes).
+
+    Step j of tile t processes slice jf_ref[t, j] of the global plane
+    schedule (the compacted active-slice list); steps >= na_ref[t] and
+    steps after the tile's rays saturate are skipped.
+
+    `paired`: block-pair streaming — each slab arrives as two consecutive
+    (WB=win)-row HBM blocks (vol*a/vol*b at block rows wb, wb+1) instead of
+    the full plane, so HBM traffic and VMEM scale with the row *window*,
+    not the plane (the 1024^3-class path). Unpaired: vol*b alias vol*a and
+    hold the whole plane."""
+    t = pl.program_id(0)
+    j = pl.program_id(1)
+    n_slices = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[0:7, :, :] = jnp.zeros((7, r_tile, wi_p), jnp.float32)
+        out_ref[7, :, :] = jnp.ones((r_tile, wi_p), jnp.float32)
+        if mode >= 1:
+            prev_s[:, :] = jnp.zeros((r_tile, wi_p), jnp.float32)
+        if term:
+            alive_ref[0, 0] = 1
+
+    def sc(i):
+        return sc_ref[0, i]
+
+    js = jf_ref[t, j]  # actual slice index in the global schedule
+    go = j < na_ref[t]
+    if term:
+        go = go & (alive_ref[0, 0] == 1)
+
+    @pl.when(go)
+    def _body():
+        # window of source rows this row tile touches (prefetched in units
+        # of `sub` rows so Mosaic can prove sublane alignment of the
+        # dynamic slice). Paired mode avoids value-level dynamic slicing
+        # (no Mosaic lowering): interpolation rows are built in block-PAIR
+        # coordinates and the row matmul splits across the two blocks.
+        w0 = w0_ref[t, js] * sub
+        if paired:
+            row_base = (wb_ref[t, js] * win).astype(jnp.float32)
+            n_w = 2 * win
+
+            def make_dots(fz):
+                plane_a = (_up(vol0a_ref[0]) * (1.0 - fz)
+                           + _up(vol1a_ref[0]) * fz)
+                plane_b = (_up(vol0b_ref[0]) * (1.0 - fz)
+                           + _up(vol1b_ref[0]) * fz)
+
+                def row_dot(w):
+                    return (_dot(w[:, :win], plane_a, bf16)
+                            + _dot(w[:, win:], plane_b, bf16))
+
+                def row_dot_t(w):  # (R, n_w) -> (Nc, R)
+                    return (_dot_t(plane_a, w[:, :win], bf16)
+                            + _dot_t(plane_b, w[:, win:], bf16))
+
+                return row_dot, row_dot_t
+        else:
+            row_base = w0.astype(jnp.float32)
+            n_w = win
+
+            def make_dots(fz):
+                win0 = _up(vol0a_ref[0, pl.dslice(w0, win), :])
+                win1 = _up(vol1a_ref[0, pl.dslice(w0, win), :])
+                plane_w = win0 * (1.0 - fz) + win1 * fz  # (W, Nc)
+
+                def row_dot(w):
+                    return _dot(w, plane_w, bf16)
+
+                def row_dot_t(w):  # (R, n_w) -> (Nc, R)
+                    return _dot_t(plane_w, w, bf16)
+
+                return row_dot, row_dot_t
+
+        any_alive = _slice_body(
+            js, j, t, sc, make_dots, n_w, row_base, lg0_ref[0], lg1_ref[0],
+            pg_ref, qg_ref, tab_ref, out_ref, prev_s, t1_scr, smp_scr,
+            g1_scr, c0_ref, n_r=n_r, n_c=n_c, n_orig=n_orig,
+            n_chunks=n_chunks, r_tile=r_tile, wi_p=wi_p, wi_i=wi_i,
+            mode=mode, l_r=l_r, l_c=l_c, bf16=bf16, col_chunk=col_chunk,
+            n_extra=n_extra, win_c=win_c, term=term, fd=fd)
         if term:
             alive_ref[0, 0] = any_alive.astype(jnp.int32)
 
@@ -547,10 +592,131 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
         out_ref[7, :, :] = 1.0 - out_ref[7, :, :]
 
 
-def _window_offsets(scalars, pg, qg_p, k0, n_slices, n_r, r_tile, win, sub):
+def _kernel_persist(k0_ref, k0l_ref, w0_ref, jf_ref, na_ref, vol_hbm,
+                    lg_hbm, pg_ref, qg_ref, tab_ref, sc_ref, out_hbm, acc,
+                    prev_s, smp_scr, g1_scr, t1_scr, vbuf, vsem, lbuf,
+                    lsem, osem, *, n_r, n_c, n_cb, n_orig, n_chunks,
+                    r_tile, wi_p, wi_i, win, mode, l_a, l_r, l_c, l_cb,
+                    bf16, col_chunk, n_extra, sub, term, fd):
+    """Persistent manual-DMA kernel: ONE grid step per row tile; the
+    tile's compacted active-slice schedule runs as an in-kernel while
+    loop with explicit double-buffered async copies of the EXACT
+    source-row windows (`shaders_raymarching.cu:87-171` — the streaming
+    hot loop the BlockSpec pipeline approximated with block pairs).
+
+    vs `_kernel`: no per-(tile, slice) grid-step sequencing (~n_tiles x
+    n_slices steps collapse to n_tiles), slab DMA is one `win`-row window
+    per slab instead of two consecutive blocks (half the traffic), and
+    early ray termination breaks the *DMA chain*, not just compute — a
+    saturated tile stops reading HBM entirely (the reference's biggest
+    win on opaque TFs, `:110`). The compositing accumulator `acc` is an
+    explicit single-buffered VMEM scratch flushed to HBM once per tile
+    (the BlockSpec out pipeline would double-buffer 2x4 MB at the 1024
+    scale)."""
+    t = pl.program_id(0)
+    n = na_ref[t]
+
+    acc[0:7, :, :] = jnp.zeros((7, r_tile, wi_p), jnp.float32)
+    acc[7, :, :] = jnp.ones((r_tile, wi_p), jnp.float32)
+    if mode >= 1:
+        prev_s[:, :] = jnp.zeros((r_tile, wi_p), jnp.float32)
+
+    def sc(i):
+        return sc_ref[0, i]
+
+    def dmas(slot, j):
+        """The slice-j slab copies (descriptors recreated for wait)."""
+        js = jf_ref[t, j]
+        k = k0_ref[js]
+        r0 = pl.multiple_of(w0_ref[t, js] * sub, sub)
+        ds = [
+            pltpu.make_async_copy(
+                vol_hbm.at[k, pl.dslice(r0, win), :], vbuf.at[slot, 0],
+                vsem.at[slot, 0]),
+            pltpu.make_async_copy(
+                vol_hbm.at[k + 1, pl.dslice(r0, win), :], vbuf.at[slot, 1],
+                vsem.at[slot, 1]),
+        ]
+        if mode == 2:
+            kl = k0l_ref[js]
+            ds.append(pltpu.make_async_copy(
+                lg_hbm.at[kl], lbuf.at[slot, 0], lsem.at[slot, 0]))
+            ds.append(pltpu.make_async_copy(
+                lg_hbm.at[jnp.minimum(kl + 1, l_a - 1)], lbuf.at[slot, 1],
+                lsem.at[slot, 1]))
+        return ds
+
+    @pl.when(n > 0)
+    def _warmup():
+        for d in dmas(0, 0):
+            d.start()
+
+    def cond(state):
+        j, alive = state
+        return jnp.logical_and(j < n, alive)
+
+    def body(state):
+        j, alive = state
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n)
+        def _prefetch():
+            for d in dmas(1 - slot, j + 1):
+                d.start()
+
+        for d in dmas(slot, j):
+            d.wait()
+
+        js = jf_ref[t, j]
+        row_base = (w0_ref[t, js] * sub).astype(jnp.float32)
+
+        def make_dots(fz):
+            plane_w = (_up(vbuf[slot, 0]) * (1.0 - fz)
+                       + _up(vbuf[slot, 1]) * fz)  # (W, Nc)
+
+            def row_dot(w):
+                return _dot(w, plane_w, bf16)
+
+            def row_dot_t(w):  # (R, n_w) -> (Nc, R)
+                return _dot_t(plane_w, w, bf16)
+
+            return row_dot, row_dot_t
+
+        any_alive = _slice_body(
+            js, j, t, sc, make_dots, win, row_base, lbuf[slot, 0],
+            lbuf[slot, 1], pg_ref, qg_ref, tab_ref, acc, prev_s, t1_scr,
+            smp_scr, g1_scr, None, n_r=n_r, n_c=n_c, n_orig=n_orig,
+            n_chunks=n_chunks, r_tile=r_tile, wi_p=wi_p, wi_i=wi_i,
+            mode=mode, l_r=l_r, l_c=l_c, bf16=bf16, col_chunk=col_chunk,
+            n_extra=n_extra, win_c=0, term=term, fd=fd, n_cb=n_cb,
+            l_cb=l_cb)
+        return (j + 1, any_alive if term else jnp.asarray(True))
+
+    j_end, _ = jax.lax.while_loop(cond, body, (jnp.int32(0),
+                                               jnp.asarray(True)))
+
+    # early termination leaves exactly one prefetched copy un-waited
+    # (body(j) starts slice j+1's DMA before computing j)
+    @pl.when(j_end < n)
+    def _drain():
+        for d in dmas(jax.lax.rem(j_end, 2), j_end):
+            d.wait()
+
+    acc[7, :, :] = 1.0 - acc[7, :, :]
+    out_dma = pltpu.make_async_copy(
+        acc, out_hbm.at[:, pl.dslice(t * r_tile, r_tile), :], osem)
+    out_dma.start()
+    out_dma.wait()
+
+
+def _window_offsets(scalars, pg, qg_p, k0, n_slices, n_r, r_tile, win, sub,
+                    halo=False):
     """Per-(row tile, slice) source-row window offsets (T, S) int32 in
     units of `sub` rows: floor(min over the tile's rows of vr) - 1, clamped
-    so the static-width window stays inside [0, n_r)."""
+    so the static-width window stays inside [0, n_r). `halo` extends the
+    tile's row extremes by one fan step each way — the FD-gradient path
+    samples one halo row beyond each tile edge (q -/+ dq), which can map up
+    to b_max voxel rows below the tile's own minimum."""
     del pg, k0
     t = qg_p.shape[0] // r_tile
     dt = qg_p.dtype
@@ -568,6 +734,9 @@ def _window_offsets(scalars, pg, qg_p, k0, n_slices, n_r, r_tile, win, sub):
                         0.0, n_r - 1.0)
 
     lo = jnp.minimum(vr_of(qa), vr_of(qb))
+    if halo:
+        dq = scalars[S_DQ].astype(dt)
+        lo = jnp.minimum(lo, jnp.minimum(vr_of(qa - dq), vr_of(qb + dq)))
     w0 = (jnp.floor(lo).astype(jnp.int32) - 1) // sub
     return jnp.clip(w0, 0, max(n_r - win, 0) // sub)
 
@@ -676,7 +845,8 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
                            win_r: int = 0, bf16: bool = False,
                            n_extra: int = 0, win_c: int = 0,
                            col_chunk: int = 0, majorant_v=None,
-                           term: bool = True, fd: bool = True):
+                           term: bool = True, fd: bool = True,
+                           persistent: bool = False):
     """Run the fused slice loop. grid_v (A, Nr, Nc) traversal-ordered
     volume (float32, bfloat16, uint8 or uint16 — integer slabs stream
     natively and normalize in-kernel); rgba_tab (K, 4) merged nodal table;
@@ -736,7 +906,8 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
     sc_f = sc_f.at[S_DQ].set(dq.astype(jnp.float32))
     sc_f = sc_f.at[S_QLO].set(qg_p[0].astype(jnp.float32))
     w0s = _window_offsets(sc_f, pg_p, qg_p.astype(jnp.float32),
-                          k0, n_slices, n_r, r_tile, win, sub)
+                          k0, n_slices, n_r, r_tile, win, sub,
+                          halo=(mode >= 1 and fd))
 
     if majorant_v is not None:
         active = _active_slices(majorant_v, k0, w0s, n_r, win, sub, mode)
@@ -748,8 +919,10 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
         n_act = jnp.full((n_tiles,), n_slices, jnp.int32)
 
     grid_hbm = grid_v if grid_v.dtype == vdt else grid_v.astype(vdt)
-    paired = win < n_r
-    if paired:
+    paired = win < n_r and not persistent
+    if persistent:
+        wb = jnp.zeros_like(w0s)
+    elif paired:
         # block-pair streaming: slab rows arrive as two consecutive
         # win-row blocks (wb, wb+1); pad rows so block wb+1 always exists
         n_blocks = (n_r - win) // win + 2
@@ -762,7 +935,8 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
     else:
         wb = jnp.zeros_like(w0s)
 
-    if win_c and win_c < n_c and col_chunk and wi_p % col_chunk == 0:
+    if (win_c and win_c < n_c and col_chunk and wi_p % col_chunk == 0
+            and not persistent):
         cc = col_chunk  # windowed contraction: chunk fixed by the window
     else:
         win_c = 0
@@ -791,9 +965,79 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
         # cost 512 KB of scarce SMEM (the r_tile-32 shadow OOM)
         c0s = jnp.zeros((1, 1), jnp.int32)
 
+    if persistent:
+        # HBM DMA slices need 128-aligned minor dims: pad the volume's and
+        # lattice's column dim (clipped positions never index the pad, so
+        # pad columns carry zero interpolation weight)
+        pad_c = (-n_c) % LANES
+        n_cb = n_c + pad_c
+        if pad_c:
+            grid_hbm = jnp.concatenate(
+                [grid_hbm, jnp.repeat(grid_hbm[:, :, -1:], pad_c, axis=2)],
+                axis=2)
+        lg_f = lgrid.astype(jnp.float32)
+        pad_lc = (-l_c) % LANES
+        l_cb = l_c + pad_lc
+        if pad_lc:
+            lg_f = jnp.concatenate(
+                [lg_f, jnp.repeat(lg_f[:, :, -1:], pad_lc, axis=2)],
+                axis=2)
+        kernel = functools.partial(
+            _kernel_persist, n_r=n_r, n_c=n_c, n_cb=n_cb, n_orig=n_orig,
+            n_chunks=n_chunks, r_tile=r_tile, wi_p=wi_p, wi_i=wi_i,
+            win=win, mode=mode, l_a=l_a, l_r=l_r, l_c=l_c, l_cb=l_cb,
+            bf16=bf16, col_chunk=cc, n_extra=n_extra, sub=sub, term=term,
+            fd=fd)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # volume (HBM)
+                pl.BlockSpec(memory_space=pltpu.ANY),  # light lattice
+                pl.BlockSpec((1, wi_p), lambda t, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((r_tile, 1), lambda t, *_: (t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, n_chunks, 1, CHUNK),
+                             lambda t, *_: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N_SCALARS), lambda t, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((8, r_tile, wi_p), jnp.float32),  # acc
+                pltpu.VMEM((r_tile, wi_p) if mode >= 1 else (8, 8),
+                           jnp.float32),  # prev_s
+                pltpu.VMEM((r_tile + 8, wi_p) if (mode >= 1 and fd)
+                           else (8, 8), jnp.float32),  # smp_scr
+                pltpu.VMEM((r_tile, wi_p) if (mode >= 1 and fd)
+                           else (8, 8), jnp.float32),  # g1_scr
+                pltpu.VMEM((8, 8), jnp.float32),  # t1_scr (win_c unused)
+                pltpu.VMEM((2, 2, win, n_cb), vdt),  # vbuf
+                pltpu.SemaphoreType.DMA((2, 2)),  # vsem
+                pltpu.VMEM((2, 2, l_r, l_cb) if mode == 2
+                           else (1, 1, 8, 128), jnp.float32),  # lbuf
+                pltpu.SemaphoreType.DMA((2, 2)),  # lsem
+                pltpu.SemaphoreType.DMA(()),  # osem
+            ],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((8, hi_p, wi_p), jnp.float32),
+            interpret=interpret,
+        )(k0.astype(jnp.int32), k0l.astype(jnp.int32), w0s, jfc, n_act,
+          grid_hbm, lg_f,
+          pg_p.astype(jnp.float32).reshape(1, wi_p),
+          qg_p.astype(jnp.float32).reshape(r_tile * n_tiles, 1), tab,
+          sc_f.reshape(1, N_SCALARS))
+        return out[:, :hi_i, :wi_i]
+
     kernel = functools.partial(
         _kernel, n_r=n_r, n_c=n_c, n_orig=n_orig, n_chunks=n_chunks,
-        r_tile=r_tile, wi_p=wi_p, win=win, mode=mode, l_r=l_r, l_c=l_c,
+        r_tile=r_tile, wi_p=wi_p, wi_i=wi_i, win=win, mode=mode, l_r=l_r,
+        l_c=l_c,
         bf16=bf16, paired=paired, col_chunk=cc, n_extra=n_extra,
         win_c=win_c, sub=sub, term=term, fd=fd)
     # index maps dereference the compacted schedule: block indices for

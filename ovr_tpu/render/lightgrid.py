@@ -139,7 +139,12 @@ def build_light_grid_swept(scene_leaves, light_dir, world_lo, world_hi,
         k0 = jnp.clip(jnp.floor(cz).astype(jnp.int32), 0, max(vz - 2, 0))
         fzz = cz - k0.astype(dt)
         sl = jax.lax.dynamic_slice(gv, (k0, 0, 0), (min(2, vz), vr, vc))
-        plane = (sl[0] * (1.0 - fzz) + sl[-1] * fzz)
+        # native-int volumes (u8/u16 residency) classify against the
+        # normalized TF value_range: apply the normalized-integer storage
+        # scale here exactly like every other direct plane reader
+        # (shearwarp._plane_fields, swslice S_GS, accel ranges)
+        plane = (sl[0].astype(dt) * (1.0 - fzz)
+                 + sl[-1].astype(dt) * fzz) * storage_scale(grid.dtype)
         pc = jnp.clip((qc + s1) * vc - 0.5, 0.0, vc - 1.0)
         pr = jnp.clip((qr + s2) * vr - 0.5, 0.0, vr - 1.0)
         wc = jnp.maximum(0.0, 1.0 - jnp.abs(
@@ -148,7 +153,8 @@ def build_light_grid_swept(scene_leaves, light_dir, world_lo, world_hi,
             pr[:, None] - jnp.arange(vr, dtype=dt)[None, :]))
         return wr @ plane @ wc.T  # (n_r, n_c)
 
-    from ovr_tpu.core.sampling import classify, opacity_correction
+    from ovr_tpu.core.sampling import (classify, opacity_correction,
+                                       storage_scale)
 
     def body(t_prev, k):
         # plane k (sweep index, 0 = light face); its shadow segment goes

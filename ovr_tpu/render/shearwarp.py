@@ -99,6 +99,14 @@ class SwStatic:
     # derivative matmuls (False; wins for small planes where matmuls are
     # cheap and the FD scratch round-trip is not)
     fd_grad: bool = True
+    # persistent manual-DMA kernel (ops.swslice._kernel_persist): the
+    # per-tile slice schedule runs as an in-kernel while loop with
+    # explicit exact-window async copies instead of BlockSpec block pairs
+    persist: bool = True
+    # interior-eye (fly-through) schedule trim: global plane indices
+    # [0, slice0_static) lie behind the eye's axial plane and cover no
+    # ray interval; the unbricked caller starts the schedule here
+    slice0_static: int = 0
 
 
 def _np_basis(camera, width, height):
@@ -156,10 +164,18 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
     sign = 1 if d[axis] >= 0 else -1
     lo = float(np.asarray(vol.world_lo)[axis])
     hi = float(np.asarray(vol.world_hi)[axis])
+    # interior (fly-through) eye: the classic shear-warp rejection is NOT
+    # needed as long as every ray still advances forward along the
+    # principal axis — planes behind the eye then clip to zero covered
+    # interval via the per-pixel slab test (the dense analogue of the
+    # reference's interior-origin t0 clamp, `shaders_common.h:156-184`,
+    # `shaders_raymarching.cu:304-311`). Only wide-FOV interior views
+    # whose border rays approach (or cross) the perpendicular fall back
+    # to the march path — their central projection diverges.
+    inside = False
     if camera.kind != ORTHOGRAPHIC:
-        e = float(np.asarray(camera.from_)[axis])
-        if lo - 1e-6 <= e <= hi + 1e-6:
-            return None  # eye inside the slab: classic shear-warp limit
+        e_a = float(np.asarray(camera.from_)[axis])
+        inside = lo - 1e-6 <= e_a <= hi + 1e-6
     perp = [w for w in (0, 1, 2) if w != axis]
     w1 = perp[0]
     w2 = perp[1]
@@ -213,12 +229,25 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
         lam_f = 1.0
     else:
         den = (d[axis] + uu * h[axis] + vv * v[axis]) * sign
+        if inside and den.min() < 0.15 * abs(d[axis]):
+            return None  # interior eye + near-perpendicular border rays
         den = np.where(np.abs(den) < 1e-9, 1e-9, den)
         q = (d[w2] + uu * h[w2] + vv * v[w2]) / den
         p = (d[w1] + uu * h[w1] + vv * v[w1]) / den
         lam_f = max(abs(lo - eye[axis]), abs(hi - eye[axis]))
     q_span = (q.max() - q.min()) * 1.02 + 2e-6
     p_span = (p.max() - p.min()) * 1.02 + 2e-6
+    # interior eye: planes between the entry face and the eye's axial
+    # plane cover no ray interval — trim them from the schedule, with the
+    # start quantized to n_slices/8 steps so a fly-through compiles at
+    # most 8 schedule variants instead of one per frame
+    slice0_static = 0
+    if inside:
+        z_eye = (eye[axis] - lo) if sign > 0 else (hi - eye[axis])
+        dz_s = float(ext[axis]) / n_slices
+        s0 = int(max(0.0, z_eye / dz_s - 1.0))
+        qstep = max(1, n_slices // 8)
+        slice0_static = max(0, min((s0 // qstep) * qstep, n_slices - 4))
     b_max = n_r / ex2 * (q_span / hi_i) * lam_f
     # storage sublane granule: window offsets/sizes must align to the
     # streamed dtype's VMEM tiling (f32 8, bf16/u16 16, u8 32 rows)
@@ -294,7 +323,9 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
                     pallas=pallas, r_tile=r_tile, win_r=win_r,
                     win_c=wcol, col_chunk=col_chunk,
                     term=bool(getattr(cfg, "sw_term", True)),
-                    fd_grad=bool(big))
+                    fd_grad=bool(big),
+                    persist=bool(getattr(cfg, "sw_persist", True)),
+                    slice0_static=slice0_static)
 
 
 # ---------------------------------------------------------------------------
@@ -493,7 +524,7 @@ def _run_fused(sw, params, n_s, mode, term):
         n_extra=(params["eld"].shape[0] if "eld" in params else 0),
         win_c=sw.win_c, col_chunk=sw.col_chunk,
         majorant_v=params.get("maj"), term=(term and sw.term),
-        fd=sw.fd_grad)
+        fd=sw.fd_grad, persistent=sw.persist)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -851,7 +882,12 @@ def render_shearwarp(scene, cfg, camera, jitter=None, light_grid=None,
     smp_lo, smp_hi = (lo, hi) if sample_box is None else sample_box
     clp_lo, clp_hi = (lo, hi) if clip_box is None else clip_box
     if slice0 is None:
-        slice0 = jnp.zeros((), dt)
+        # interior-eye trim: start at the plan's first plane that can
+        # cover any ray interval (bricked callers pass their own range)
+        s0s = int(getattr(sw, "slice0_static", 0))
+        slice0 = jnp.asarray(float(s0s), dt)
+        if n_slices_loc is None and s0s:
+            n_slices_loc = sw.n_slices - s0s
     n_loc = sw.n_slices if n_slices_loc is None else n_slices_loc
     e, direction, horizontal, vertical = camera_basis(
         camera, cfg.width, cfg.height)

@@ -262,6 +262,49 @@ def test_fd_gradient_backward_consistent():
     np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x), atol=3e-5)
 
 
+def test_native_int_shadow_lattice():
+    """Shadow shading with a native u8 grid: the swept light-grid builder
+    must apply the normalized-integer storage scale before classifying
+    (ADVICE r4 high — raw 0..255 values classified against the [0,1]
+    value_range produced a completely wrong lattice)."""
+    scene = _opaque_scene(32)
+    g32 = np.asarray(scene.volume.grid)
+    raw = np.clip(np.round(g32 * 255), 0, 255).astype(np.uint8)
+    sc8 = dataclasses.replace(
+        scene, volume=dataclasses.replace(scene.volume,
+                                          grid=jnp.asarray(raw)))
+    cfg = _cfg(scene, "shadow", sw_term=False)
+    lg_ref = api.build_light_grid(scene, cfg)
+    lg_u8 = api.build_light_grid(sc8, _cfg(sc8, "shadow", sw_term=False))
+    err_lat = np.abs(np.asarray(lg_u8) - np.asarray(lg_ref)).mean()
+    assert err_lat < 2e-2, err_lat
+    ref = api.render(scene, cfg, light_grid=lg_ref)
+    out = api.render(sc8, _cfg(sc8, "shadow", sw_term=False),
+                     light_grid=lg_u8)
+    err = np.abs(np.asarray(out.rgba) - np.asarray(ref.rgba)).mean()
+    assert err < 1.5 / 255, err
+
+
+def test_fd_paired_streaming_parity():
+    """FD-gradient stencil through the block-pair (windowed) streaming
+    path: the halo rows the FD resamples beyond each tile edge must stay
+    inside the streamed source-row window (ADVICE r4 medium — the window
+    offset bounded only the tile's own rows, so the bottom halo sample
+    could clamp and corrupt g2 on the first fan row of a tile)."""
+    scene = _opaque_scene(128)
+    cfg = api.RenderConfig(width=96, height=72, sampling_rate=96.0,
+                           shading="diffuse", method="shearwarp",
+                           sw_term=False).resolved(scene)
+    sw = dataclasses.replace(cfg.sw, fd_grad=True, win_r=64, r_tile=32)
+    out = api.render(scene, dataclasses.replace(cfg, sw=sw))
+    sw_ref = dataclasses.replace(cfg.sw, fd_grad=True)  # unwindowed
+    ref = api.render(scene, dataclasses.replace(cfg, sw=sw_ref))
+    np.testing.assert_allclose(np.asarray(out.rgba), np.asarray(ref.rgba),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.grad), np.asarray(ref.grad),
+                               atol=2e-5)
+
+
 @pytest.mark.slow
 def test_native_u8_paired_streaming():
     """u8 slabs through the block-pair (windowed) streaming path — the
