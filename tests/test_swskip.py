@@ -305,6 +305,39 @@ def test_fd_paired_streaming_parity():
                                atol=2e-5)
 
 
+@pytest.mark.parametrize("shading", ["none", "diffuse"])
+def test_lane_windowed_contraction_parity(shading):
+    """The persistent kernel's lane-windowed column contraction (each
+    128-lane fan chunk contracts a 128-aligned K window of the plane
+    instead of all columns) matches the full-width contraction. Wide-X
+    volume so the window is genuinely narrower than the plane."""
+    n = 48
+    z, y, x = np.meshgrid(np.linspace(0, 1, n, dtype=np.float32),
+                          np.linspace(0, 1, n, dtype=np.float32),
+                          np.linspace(0, 1, 256, dtype=np.float32),
+                          indexing="ij")
+    g = (0.5 + 0.4 * np.sin(9 * x) * np.cos(7 * y) * np.sin(5 * z)
+         ).astype(np.float32)
+    scene = simple_scene(g)
+    cam = Camera.create(from_=(0.5, 0.5, -1.4), at=(0.5, 0.5, 0.5),
+                        fovy=45.0)
+    scene = dataclasses.replace(scene, camera=cam)
+    cfg = api.RenderConfig(width=72, height=56, sampling_rate=48.0,
+                           shading=shading, method="shearwarp",
+                           sw_term=False).resolved(scene)
+    fd = shading != "none"
+    sw_w = dataclasses.replace(cfg.sw, win_lane=128, fd_grad=fd,
+                               persist=True)
+    sw_f = dataclasses.replace(cfg.sw, win_lane=0, fd_grad=fd,
+                               persist=True)
+    out = api.render(scene, dataclasses.replace(cfg, sw=sw_w))
+    ref = api.render(scene, dataclasses.replace(cfg, sw=sw_f))
+    np.testing.assert_allclose(np.asarray(out.rgba), np.asarray(ref.rgba),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.grad), np.asarray(ref.grad),
+                               atol=2e-5)
+
+
 @pytest.mark.slow
 def test_native_u8_paired_streaming():
     """u8 slabs through the block-pair (windowed) streaming path — the
