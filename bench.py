@@ -51,6 +51,12 @@ def main() -> None:
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
         jax.config.update("jax_platforms", plat)
+    mesh_env = os.environ.get("BENCH_MESH", "")
+    if mesh_env and (plat or "cpu") == "cpu":
+        # virtual CPU devices for the mesh configs (the env-var route is
+        # swallowed when a TPU platform plugin is installed)
+        t_, b_ = (int(v) for v in mesh_env.lower().split("x"))
+        jax.config.update("jax_num_cpu_devices", max(t_ * b_, 1))
     try:
         # persistent compile cache: the 1024^3 kernels take ~10 min to
         # compile; cache across processes so repeat runs start hot
@@ -140,13 +146,14 @@ def main() -> None:
     term = os.environ.get("BENCH_TERM", "1") == "1"
     skip = os.environ.get("BENCH_SKIP", "1") == "1"
     colwin = os.environ.get("BENCH_COLWIN", "") == "1"
+    persist = os.environ.get("BENCH_PERSIST", "1") == "1"
     cfg = api.RenderConfig(
         width=width, height=height, spp=1, sampling_rate=rate,
         base_rate=base_rate_v,
         shading=shading, fast_math=True, use_macrocells=True, method=method,
         ray_chunk=int(ray_chunk) if ray_chunk else None,
         adaptive_scale=adaptive, sw_bf16=bf16_mm, sw_term=term,
-        sw_skip=skip, sw_col_win=colwin,
+        sw_skip=skip, sw_col_win=colwin, sw_persist=persist,
         path_tracing=bool(pt), pt_dense=(pt == "dense"),
     ).resolved(scene)
 
@@ -350,6 +357,7 @@ def main() -> None:
                + (f"-rc{ray_chunk}" if ray_chunk else "")
                + ("-mm16" if bf16_mm else "")
                + ("" if term else "-noterm") + ("" if skip else "-noskip")
+               + ("" if persist else "-legacy")
                + ("-cw" if colwin else "")
                + ("-opq" if os.environ.get("BENCH_OPAQUE") == "1" else "")
                + ("-eyein" if os.environ.get("BENCH_EYE") == "inside"

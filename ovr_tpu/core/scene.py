@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -154,41 +154,51 @@ class StructuredVolume:
 
 @_pytree_dataclass
 class Material:
-    """OBJ-style surface material (reference: `ovr/scene.h:267-282`).
+    """OBJ-style surface material (reference: `ovr/scene.h:266-282`).
 
-    `kd` diffuse RGB, `ks` specular RGB, `ns` shininess exponent, `d` opacity.
+    `kd` diffuse RGB, `ks` specular RGB, `ns` shininess exponent, `d`
+    opacity. `map_kd` is an optional (H, W, 3) diffuse texture sampled at
+    the mesh's per-vertex UVs (the reference's `ObjMaterial.map_kd`
+    texture index, resolved to an OSPRay texture at
+    `ovr/devices/ospray/device_impl.cpp:274-295`); None = untextured.
     """
 
     kd: jnp.ndarray  # (3,)
     ks: jnp.ndarray  # (3,)
     ns: jnp.ndarray  # ()
     d: jnp.ndarray  # ()
+    map_kd: Optional[jnp.ndarray] = None  # (H, W, 3) or None
 
     @staticmethod
     def create(kd=(0.8, 0.8, 0.8), ks=(0.0, 0.0, 0.0), ns=10.0,
-               d=1.0) -> "Material":
+               d=1.0, map_kd=None) -> "Material":
         return Material(kd=_as_f32(kd), ks=_as_f32(ks), ns=_as_f32(ns),
-                        d=_as_f32(d))
+                        d=_as_f32(d),
+                        map_kd=None if map_kd is None else _as_f32(map_kd))
 
 
 @_pytree_dataclass
 class TriangleMesh:
     """Indexed triangle mesh geometry (reference: `ovr/scene.h:284-304`,
     `GeometryTriangles`). Optional per-vertex colors override the material
-    diffuse."""
+    diffuse; `uvs` are per-vertex texture coordinates (the reference's
+    `verts.texcoord`) consumed by `Material.map_kd`."""
 
     verts: jnp.ndarray  # (V, 3)
     faces: jnp.ndarray  # (F, 3) int32
     colors: jnp.ndarray  # (V, 3); ones = use material kd
+    uvs: jnp.ndarray = None  # (V, 2); zeros = no texcoords
 
     @staticmethod
-    def create(verts, faces, colors=None) -> "TriangleMesh":
+    def create(verts, faces, colors=None, uvs=None) -> "TriangleMesh":
         verts = _as_f32(verts)
         if colors is None:
             colors = jnp.ones_like(verts)
+        if uvs is None:
+            uvs = jnp.zeros((verts.shape[0], 2), jnp.float32)
         return TriangleMesh(verts=verts,
                             faces=jnp.asarray(faces, jnp.int32),
-                            colors=_as_f32(colors))
+                            colors=_as_f32(colors), uvs=_as_f32(uvs))
 
 
 @_pytree_dataclass

@@ -19,8 +19,24 @@ from typing import Any
 _TOKEN = re.compile(
     r'"(?:[^"\\]|\\.)*"'      # quoted string
     r"|[{}()=,]"              # punctuation
-    r"|[^\s{}()=,\"]+"        # bare word / number
+    r"|\[\]"                  # array-type suffix (kept attached below)
+    r"|[\[\]]"                # array brackets
+    r"|[^\s{}()=,\[\]\"]+"    # bare word / number
 )
+
+
+def _join_array_types(toks: list[str]) -> list[str]:
+    """Re-attach `[]` to its preceding type keyword (`float3 []` ->
+    `float3[]`) so the scope parser sees one token."""
+    out: list[str] = []
+    for t in toks:
+        if t == "[]" and out and out[-1].rstrip("[]") in _TYPES:
+            out[-1] = out[-1] + "[]"
+        elif t == "[]":
+            out.extend(["[", "]"])
+        else:
+            out.append(t)
+    return out
 
 
 def _tokenize(text: str) -> list[str]:
@@ -28,11 +44,21 @@ def _tokenize(text: str) -> list[str]:
     for line in text.splitlines():
         line = line.split("#", 1)[0]
         out.extend(_TOKEN.findall(line))
-    return out
+    return _join_array_types(out)
 
 
 def _parse_value(toks: list[str], i: int) -> tuple[Any, int]:
     t = toks[i]
+    if t == "[":  # array of values (numbers or tuples)
+        vals = []
+        i += 1
+        while toks[i] != "]":
+            if toks[i] == ",":
+                i += 1
+                continue
+            v, i = _parse_value(toks, i)
+            vals.append(v)
+        return vals, i + 1
     if t == "(":  # tuple of numbers
         vals = []
         i += 1
@@ -58,7 +84,8 @@ def _parse_value(toks: list[str], i: int) -> tuple[Any, int]:
 
 
 _TYPES = {"int", "bool", "float", "double", "float3", "double3", "string",
-          "token", "int3"}
+          "token", "int3", "float2", "point3f", "color3f", "normal3f",
+          "texCoord2f", "asset"}
 
 
 def _parse_scope(toks: list[str], i: int) -> tuple[dict, int]:
@@ -76,8 +103,8 @@ def _parse_scope(toks: list[str], i: int) -> tuple[dict, int]:
             i += 1
             sub, i = _parse_scope(toks, i)
             scope[name] = sub
-        elif toks[i] in _TYPES:
-            i += 1  # attribute type keyword
+        elif toks[i].rstrip("[]") in _TYPES:
+            i += 1  # attribute type keyword (arrays: `float3[]` etc.)
             name = toks[i]
             i += 1
             assert toks[i] == "=", f"expected '=' after {name}"
@@ -167,4 +194,63 @@ def create_scene_usda(filename: str):
         scene = dataclasses.replace(scene, light=Light.create(
             direction=direction, color=color, ambient=amb))
 
+    geoms = _parse_meshes(sc, os.path.dirname(filename) or ".")
+    if geoms:
+        scene = dataclasses.replace(
+            scene, geometries=tuple(scene.geometries) + tuple(geoms))
+
     return scene, sc.get("rendering", {})
+
+
+def _load_texture(path: str):
+    """Load a map_kd texture: .exr (dependency-free reader), .npy, or
+    PNG/JPG via PIL when available. Returns (H, W, 3) float32 in [0,1]."""
+    import numpy as np
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".exr":
+        from ovr_tpu.io.image import load_exr
+        img = np.asarray(load_exr(path), np.float32)
+    elif ext == ".npy":
+        img = np.load(path).astype(np.float32)
+    else:
+        from PIL import Image  # PNG/JPG textures need PIL
+        img = np.asarray(Image.open(path), np.float32) / 255.0
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    return img[..., :3]
+
+
+def _parse_meshes(sc: dict, base_dir: str):
+    """Collect Mesh prims (a USD Mesh subset: `points`,
+    `faceVertexIndices` triangles, optional `primvars:st` texcoords, a
+    sibling material's `diffuseColor`/`opacity` and `map_kd` texture path
+    — the reference's OBJ material with a diffuse map,
+    `ovr/scene.h:266-282`, `ovr/devices/ospray/device_impl.cpp:274-295`)."""
+    import numpy as np
+
+    from ovr_tpu.core.scene import GeometryInstance, Material, TriangleMesh
+
+    geoms = []
+    for name, g in sc.items():
+        if not (isinstance(g, dict) and "points" in g
+                and "faceVertexIndices" in g):
+            continue
+        verts = np.asarray(g["points"], np.float32)
+        faces = np.asarray(g["faceVertexIndices"], np.int32).reshape(-1, 3)
+        uvs = None
+        st = g.get("primvars:st", g.get("primvars_st", g.get("st")))
+        if st is not None:
+            uvs = np.asarray(st, np.float32)
+        map_kd = None
+        tex = g.get("map_kd")
+        if tex:
+            p = tex if os.path.isabs(tex) else os.path.join(base_dir, tex)
+            map_kd = _load_texture(p)
+        mat = Material.create(
+            kd=tuple(g.get("diffuseColor", (0.8, 0.8, 0.8))),
+            ks=tuple(g.get("specularColor", (0.0, 0.0, 0.0))),
+            ns=float(g.get("shininess", 10.0)),
+            d=float(g.get("opacity", 1.0)), map_kd=map_kd)
+        mesh = TriangleMesh.create(verts, faces, uvs=uvs)
+        geoms.append(GeometryInstance.create(mesh, mat))
+    return geoms

@@ -648,12 +648,15 @@ def _kernel_persist(k0_ref, k0l_ref, w0_ref, jf_ref, na_ref, c0l_ref,
     def sc(i):
         return sc_ref[0, i]
 
-    def dmas(slot, j):
-        """The slice-j slab copies (descriptors recreated for wait)."""
+    def key_of(j):
+        """(slab index, window row) the volume copies of step j read."""
         js = jf_ref[t, j]
-        k = k0_ref[js]
-        r0 = pl.multiple_of(w0_ref[t, js] * sub, sub)
-        ds = [
+        return k0_ref[js], pl.multiple_of(w0_ref[t, js] * sub, sub)
+
+    def vol_dmas(slot, j):
+        """The slice-j volume slab copies (recreated for wait)."""
+        k, r0 = key_of(j)
+        return [
             pltpu.make_async_copy(
                 vol_hbm.at[k, pl.dslice(r0, win), :], vbuf.at[slot, 0],
                 vsem.at[slot, 0]),
@@ -661,35 +664,76 @@ def _kernel_persist(k0_ref, k0l_ref, w0_ref, jf_ref, na_ref, c0l_ref,
                 vol_hbm.at[k + 1, pl.dslice(r0, win), :], vbuf.at[slot, 1],
                 vsem.at[slot, 1]),
         ]
-        if mode == 2:
-            kl = k0l_ref[js]
-            ds.append(pltpu.make_async_copy(
-                lg_hbm.at[kl], lbuf.at[slot, 0], lsem.at[slot, 0]))
-            ds.append(pltpu.make_async_copy(
+
+    def lg_dmas(slot, j):
+        js = jf_ref[t, j]
+        kl = k0l_ref[js]
+        return [
+            pltpu.make_async_copy(
+                lg_hbm.at[kl], lbuf.at[slot, 0], lsem.at[slot, 0]),
+            pltpu.make_async_copy(
                 lg_hbm.at[jnp.minimum(kl + 1, l_a - 1)], lbuf.at[slot, 1],
-                lsem.at[slot, 1]))
-        return ds
+                lsem.at[slot, 1]),
+        ]
 
     @pl.when(n > 0)
     def _warmup():
-        for d in dmas(0, 0):
+        for d in vol_dmas(0, 0):
             d.start()
+        if mode == 2:
+            for d in lg_dmas(0, 0):
+                d.start()
 
     def cond(state):
-        j, alive = state
+        j, alive, *_ = state
         return jnp.logical_and(j < n, alive)
 
     def body(state):
-        j, alive = state
-        slot = jax.lax.rem(j, 2)
+        # `slot`/`lslot`: which buffer holds step j's slabs; `pend`/
+        # `lpend`: whether a copy into it is in flight (False when step
+        # j-1's data was reused — consecutive slices often share their
+        # slab pair and window, and re-copying them cost the 512^3-class
+        # configs ~45 GB/frame; the BlockSpec pipeline elides those by
+        # block-index equality, this loop by key equality)
+        j, alive, slot, pend, lslot, lpend = state
+        k, r0 = key_of(j)
 
-        @pl.when(j + 1 < n)
-        def _prefetch():
-            for d in dmas(1 - slot, j + 1):
+        nxt = jnp.minimum(j + 1, n - 1)
+        k1, r1 = key_of(nxt)
+        same_v = jnp.logical_and(k1 == k, r1 == r0)
+        go_v = jnp.logical_and(j + 1 < n, jnp.logical_not(same_v))
+        nslot = jnp.where(same_v, slot, 1 - slot)
+
+        @pl.when(go_v)
+        def _prefetch_v():
+            for d in vol_dmas(1 - slot, j + 1):
                 d.start()
 
-        for d in dmas(slot, j):
-            d.wait()
+        if mode == 2:
+            js_c = jf_ref[t, j]
+            js_n = jf_ref[t, nxt]
+            same_l = k0l_ref[js_n] == k0l_ref[js_c]
+            go_l = jnp.logical_and(j + 1 < n, jnp.logical_not(same_l))
+            nlslot = jnp.where(same_l, lslot, 1 - lslot)
+
+            @pl.when(go_l)
+            def _prefetch_l():
+                for d in lg_dmas(1 - lslot, j + 1):
+                    d.start()
+        else:
+            nlslot = lslot
+            go_l = jnp.asarray(False)
+
+        @pl.when(pend)
+        def _wait_v():
+            for d in vol_dmas(slot, j):
+                d.wait()
+
+        if mode == 2:
+            @pl.when(lpend)
+            def _wait_l():
+                for d in lg_dmas(lslot, j):
+                    d.wait()
 
         js = jf_ref[t, j]
         row_base = (w0_ref[t, js] * sub).astype(jnp.float32)
@@ -707,24 +751,33 @@ def _kernel_persist(k0_ref, k0l_ref, w0_ref, jf_ref, na_ref, c0l_ref,
             return row_dot, row_dot_t
 
         any_alive = _slice_body(
-            js, j, t, sc, make_dots, win, row_base, lbuf[slot, 0],
-            lbuf[slot, 1], pg_ref, qg_ref, tab_ref, acc, prev_s, t1_scr,
+            js, j, t, sc, make_dots, win, row_base, lbuf[lslot, 0],
+            lbuf[lslot, 1], pg_ref, qg_ref, tab_ref, acc, prev_s, t1_scr,
             smp_scr, g1_scr, c0l_ref, n_r=n_r, n_c=n_c, n_orig=n_orig,
             n_chunks=n_chunks, r_tile=r_tile, wi_p=wi_p, wi_i=wi_i,
             mode=mode, l_r=l_r, l_c=l_c, bf16=bf16, col_chunk=col_chunk,
             n_extra=n_extra, win_c=0, term=term, fd=fd, n_cb=n_cb,
             l_cb=l_cb, cw_lane=cw_lane)
-        return (j + 1, any_alive if term else jnp.asarray(True))
+        return (j + 1, any_alive if term else jnp.asarray(True),
+                nslot, go_v, nlslot, go_l)
 
-    j_end, _ = jax.lax.while_loop(cond, body, (jnp.int32(0),
-                                               jnp.asarray(True)))
+    state0 = (jnp.int32(0), jnp.asarray(True), jnp.int32(0),
+              jnp.asarray(True), jnp.int32(0), jnp.asarray(mode == 2))
+    j_end, _, slot_e, pend_e, lslot_e, lpend_e = jax.lax.while_loop(
+        cond, body, state0)
 
-    # early termination leaves exactly one prefetched copy un-waited
+    # early termination leaves at most one prefetched copy un-waited
     # (body(j) starts slice j+1's DMA before computing j)
-    @pl.when(j_end < n)
-    def _drain():
-        for d in dmas(jax.lax.rem(j_end, 2), j_end):
+    @pl.when(jnp.logical_and(j_end < n, pend_e))
+    def _drain_v():
+        for d in vol_dmas(slot_e, j_end):
             d.wait()
+
+    if mode == 2:
+        @pl.when(jnp.logical_and(j_end < n, lpend_e))
+        def _drain_l():
+            for d in lg_dmas(lslot_e, j_end):
+                d.wait()
 
     acc[7, :, :] = 1.0 - acc[7, :, :]
     out_dma = pltpu.make_async_copy(
@@ -1010,12 +1063,13 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
             lg_f = jnp.concatenate(
                 [lg_f, jnp.repeat(lg_f[:, :, -1:], pad_lc, axis=2)],
                 axis=2)
-        # lane-windowed column contraction: only meaningful when the
-        # window is actually narrower than the padded plane, and only in
-        # the fd / mode-0 stencils (the analytic small-plane stencil
-        # keeps full-width matmuls)
-        cw_lane = win_lane if (0 < win_lane < n_cb
-                               and not (mode >= 1 and not fd)) else 0
+        # lane-windowed column contraction: only for the shaded fan-FD
+        # stencil (pass A dominates there; measured +7% diffuse, +52%
+        # shadow at 1024^3). Mode 0 measured SLOWER with it — the t1
+        # staging round-trip plus the narrower column chunks cost more
+        # than the K cut saves when there is no pass A.
+        cw_lane = win_lane if (0 < win_lane < n_cb and mode >= 1
+                               and fd) else 0
         if cw_lane:
             cc = min(cc, LANES)  # per-128-lane-chunk windows
             c0l = _col_offsets(sc_f, pg_p.astype(jnp.float32), n_slices,

@@ -79,8 +79,12 @@ def intersect_mesh(org: jnp.ndarray, direction: jnp.ndarray,
     # degenerate padding triangles (v0=v0=v0) have det == 0 -> never hit
     tris = mesh.verts[faces]  # (F', 3, 3)
     cols = mesh.colors[faces]  # (F', 3, 3)
+    m_uvs = (mesh.uvs if getattr(mesh, "uvs", None) is not None
+             else jnp.zeros((mesh.verts.shape[0], 2), dt))
+    uvs = m_uvs[faces]  # (F', 3, 2)
     tris = tris.reshape(-1, chunk, 3, 3)
     cols = cols.reshape(-1, chunk, 3, 3)
+    uvs = uvs.reshape(-1, chunk, 3, 2)
 
     eps = jnp.asarray(1e-9, dt)
     t_eps = jnp.asarray(1e-5, dt)
@@ -89,8 +93,8 @@ def intersect_mesh(org: jnp.ndarray, direction: jnp.ndarray,
     b_eps = jnp.asarray(1e-6, dt)
 
     def body(carry, xs):
-        t_best, n_best, c_best = carry
-        tri, col = xs  # (C, 3, 3)
+        t_best, n_best, c_best, uv_best = carry
+        tri, col, uvc = xs  # (C, 3, 3) / (C, 3, 2)
         v0, e1, e2 = tri[:, 0], tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]
         pvec = jnp.cross(direction[:, None, :], e2[None])  # (N, C, 3)
         det = jnp.sum(e1[None] * pvec, -1)  # (N, C)
@@ -111,20 +115,42 @@ def intersect_mesh(org: jnp.ndarray, direction: jnp.ndarray,
         n_c = jnp.cross(e1[j], e2[j])
         c_c = (col[j, 0] * (1 - u_c - v_c)[:, None] + col[j, 1] * u_c[:, None]
                + col[j, 2] * v_c[:, None])
+        uv_c = (uvc[j, 0] * (1 - u_c - v_c)[:, None]
+                + uvc[j, 1] * u_c[:, None] + uvc[j, 2] * v_c[:, None])
         better = t_c < t_best
         t_best = jnp.where(better, t_c, t_best)
         n_best = jnp.where(better[:, None], n_c, n_best)
         c_best = jnp.where(better[:, None], c_c, c_best)
-        return (t_best, n_best, c_best), None
+        uv_best = jnp.where(better[:, None], uv_c, uv_best)
+        return (t_best, n_best, c_best, uv_best), None
 
     init = (jnp.full((n,), BIG, dt), jnp.zeros((n, 3), dt),
-            jnp.ones((n, 3), dt))
-    (t, nrm, col), _ = jax.lax.scan(body, init, (tris, cols))
+            jnp.ones((n, 3), dt), jnp.zeros((n, 2), dt))
+    (t, nrm, col, uv), _ = jax.lax.scan(body, init, (tris, cols, uvs))
     nrm = safe_normalize(nrm)
     # face the origin side
     nrm = jnp.where(jnp.sum(nrm * direction, -1, keepdims=True) > 0,
                     -nrm, nrm)
-    return t, nrm, col
+    return t, nrm, col, uv
+
+
+def sample_texture(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear (H, W, 3) texture fetch at uv (N, 2) in [0,1]^2, clamp
+    addressing, v up (image row 0 = v 1) — OSPRay texture2d semantics
+    (`ovr/devices/ospray/device_impl.cpp:274-295`)."""
+    h, w, _ = tex.shape
+    fx = jnp.clip(uv[:, 0], 0.0, 1.0) * (w - 1)
+    fy = (1.0 - jnp.clip(uv[:, 1], 0.0, 1.0)) * (h - 1)
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, h - 2)
+    ax = (fx - x0)[:, None]
+    ay = (fy - y0)[:, None]
+    t00 = tex[y0, x0]
+    t01 = tex[y0, x0 + 1]
+    t10 = tex[y0 + 1, x0]
+    t11 = tex[y0 + 1, x0 + 1]
+    return ((t00 * (1 - ax) + t01 * ax) * (1 - ay)
+            + (t10 * (1 - ax) + t11 * ax) * ay)
 
 
 def intersect_isosurface(volume: Any, value_range: jnp.ndarray,
@@ -236,8 +262,10 @@ def render_geometries(scene: Scene, org: jnp.ndarray, direction: jnp.ndarray,
                 scene.volume.world_hi, org_o, dir_o, inst.geometry, iso_steps)
             base = jnp.ones((n, 3), dt)
         else:
-            t, nrm_o, base = intersect_mesh(org_o, dir_o, inst.geometry,
-                                            chunk)
+            t, nrm_o, base, uv = intersect_mesh(org_o, dir_o, inst.geometry,
+                                                chunk)
+            if getattr(inst.material, "map_kd", None) is not None:
+                base = base * sample_texture(inst.material.map_kd, uv)
         # normals: object -> world via (R^-1)^T
         nrm = safe_normalize(jnp.einsum("ji,...j->...i", inv[:, :3], nrm_o))
         nrm = jnp.where(jnp.sum(nrm * direction, -1, keepdims=True) > 0,

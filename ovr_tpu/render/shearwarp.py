@@ -35,14 +35,21 @@ consecutive planes, solved for the axial derivative — the same
 finite-difference normal as `compute_volume_gradient_object_space`
 (`shaders_common.h:195-215`) up to FD stencil spacing.
 
-Limits: perspective eyes must lie outside the volume's slab along the
-chosen axis (the classic shear-warp constraint); `resolve_static` reports
-eligibility and callers fall back to the march integrator.
+Limits: perspective eyes may lie INSIDE the volume (fly-through) as long
+as every ray still advances forward along the principal axis — planes
+behind the eye clip to zero covered interval via the per-pixel slab test
+(the dense analogue of the reference's interior-origin t0 clamp,
+`shaders_common.h:156-184`), and the plane schedule is trimmed past the
+eye plane. Only wide-FOV interior views whose border rays approach (or
+cross) the perpendicular to the principal axis are ineligible (their
+central projection diverges); `resolve_static` reports eligibility and
+callers fall back to the march integrator.
 """
 
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional
 
 import jax
@@ -327,7 +334,10 @@ def resolve_static(scene, camera, cfg) -> Optional[SwStatic]:
     # = worst-case 128-lane chunk span + the 128-alignment margin
     rnd128 = lambda x: int(-(-x // 128) * 128)
     win_lane = rnd128(int(np.ceil(1.25 * b_max_c * 128)) + 2) + 128
-    if win_lane >= n_c_plane or not persist_k:
+    # only a win at the widest planes: at the 512 scale the pass-A
+    # staging + narrower column chunks cost more than the K cut saves
+    # (neural 512^3 proxy measured 32 vs 48 Mrays/s with it on)
+    if win_lane >= n_c_plane or n_c_plane < 768 or not persist_k:
         win_lane = 0
     import jax
 
@@ -455,12 +465,7 @@ def _common_rgba_table(color_table, alpha_table):
                            axis=1)  # (K, 4)
 
 
-def _classify_dense(smp, rgba_tab, value_range, bf16: bool):
-    """TF classification as one interp-matmul: smp (..., H, W) ->
-    (rgb (H, W, 3), alpha (H, W)). Same piecewise-linear nodal lookup as
-    `core.sampling.classify` (`shaders_common.h:356-367`), evaluated on the
-    MXU (weights row = the two bilinear weights of the sample's node
-    coordinate)."""
+def _classify_impl(smp, rgba_tab, value_range, bf16: bool):
     k = rgba_tab.shape[0]
     v = normalize_value(smp, value_range)
     c = jnp.clip(v * (k - 1), 0.0, k - 1.0)
@@ -474,7 +479,70 @@ def _classify_dense(smp, rgba_tab, value_range, bf16: bool):
     return rgba[..., :3], rgba[..., 3]
 
 
-from functools import partial
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _classify_cv(bf16: bool, smp, rgba_tab, value_range):
+    return _classify_impl(smp, rgba_tab, value_range, bf16)
+
+
+def _classify_dense(smp, rgba_tab, value_range, bf16: bool = False):
+    """TF classification as one interp-matmul: smp (..., H, W) ->
+    (rgb (H, W, 3), alpha (H, W)). Same piecewise-linear nodal lookup as
+    `core.sampling.classify` (`shaders_common.h:356-367`), evaluated on the
+    MXU (weights row = the two bilinear weights of the sample's node
+    coordinate).
+
+    Custom VJP: the (H, W, K) hat-weight tensor (hundreds of MB at the
+    1024 scale) is REBUILT in the backward instead of saved as a vjp
+    residual — its per-step HBM round-trip was the dominant cost of the
+    adjoint sweep at the metric scale."""
+    return _classify_cv(bool(bf16), smp, rgba_tab, value_range)
+
+
+def _classify_dense_fwd(bf16, smp, rgba_tab, value_range):
+    return _classify_impl(smp, rgba_tab, value_range, bf16), (
+        smp, rgba_tab, value_range)
+
+
+def _classify_dense_bwd(bf16, res, cot):
+    smp, rgba_tab, value_range = res
+    k = rgba_tab.shape[0]
+    dt = smp.dtype
+    cot_rgb, cot_a = cot
+    cot_rgba = jnp.concatenate([cot_rgb, cot_a[..., None]], axis=-1)
+    # rebuild the normalized node coordinate and both hat tensors
+    lo, hi = value_range[0], value_range[1]
+    inv_rng = 1.0 / (hi - lo)
+    v_raw = (smp - lo) * inv_rng
+    v = jnp.clip(v_raw, 0.0, 1.0)
+    c_raw = v * (k - 1)
+    c = jnp.clip(c_raw, 0.0, k - 1.0)
+    i = jnp.arange(k, dtype=dt)
+    d = c[..., None] - i
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(d))  # (H, W, K)
+    # d w / d c inside the unit support (same a.e. subgradient autodiff
+    # of max/abs produces away from ties)
+    dw = jnp.where((jnp.abs(d) < 1.0) & (d != 0.0), -jnp.sign(d), 0.0)
+    d_tab = jnp.einsum("hwk,hwc->kc", w.astype(jnp.float32),
+                       cot_rgba.astype(jnp.float32),
+                       preferred_element_type=jnp.float32).astype(dt)
+    dval_dc = jnp.einsum("hwk,kc->hwc", dw, rgba_tab,
+                         preferred_element_type=jnp.float32)
+    d_c = jnp.sum(cot_rgba * dval_dc, axis=-1)
+    in_c = (c_raw > 0.0) & (c_raw < k - 1.0)
+    in_v = (v_raw > 0.0) & (v_raw < 1.0)
+    d_v = jnp.where(in_c, d_c, 0.0) * (k - 1)
+    d_smp = jnp.where(in_v, d_v, 0.0) * inv_rng
+    # value_range cotangent through v = (smp - lo) / (hi - lo)
+    d_vmasked = jnp.where(in_v, d_v, 0.0)
+    d_lo = jnp.sum(d_vmasked * (-inv_rng + (smp - lo) * inv_rng * inv_rng))
+    d_hi = jnp.sum(d_vmasked * (-(smp - lo) * inv_rng * inv_rng))
+    d_vr = jnp.stack([d_lo, d_hi]).astype(value_range.dtype)
+    return d_smp, d_tab, d_vr
+
+
+_classify_cv.defvjp(_classify_dense_fwd, _classify_dense_bwd)
+
+
 
 
 def _kernel_scalars(dt, *, lo1, ex1, lo2, ex2, e1, e2, dw1, dw2, half, dz,

@@ -30,7 +30,7 @@ def test_mesh_intersection_basic():
     mesh = _quad(z=2.0)
     org = jnp.array([[0.5, 0.5, 0.0], [0.5, 0.5, 5.0], [3.0, 3.0, 0.0]])
     d = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, -1.0], [0.0, 0.0, 1.0]])
-    t, nrm, _ = geo.intersect_mesh(org, d, mesh)
+    t, nrm, _, _ = geo.intersect_mesh(org, d, mesh)
     np.testing.assert_allclose(np.asarray(t[:2]), [2.0, 3.0], atol=1e-5)
     assert float(t[2]) > 1e30  # miss
     # normals face the origin side
@@ -47,8 +47,8 @@ def test_mesh_chunking_padding():
     org = jnp.asarray(rng.uniform(0, 1, (64, 3)).astype(np.float32))
     d = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
     d = d / np.linalg.norm(d, axis=1, keepdims=True)
-    t1, n1, c1 = geo.intersect_mesh(org, d, mesh, chunk=8)
-    t2, n2, c2 = geo.intersect_mesh(org, d, mesh, chunk=64)
+    t1, n1, c1, _ = geo.intersect_mesh(org, d, mesh, chunk=8)
+    t2, n2, c2, _ = geo.intersect_mesh(org, d, mesh, chunk=64)
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-6)
 
 
@@ -146,3 +146,80 @@ def test_shearwarp_geometry_parity(small_grid):
     # the backdrop fills coverage in both
     np.testing.assert_allclose(np.asarray(fs.rgba[..., 3])[interior], 1.0,
                                atol=0.05)
+
+
+def test_sample_texture_bilinear():
+    """sample_texture: corner-exact fetches + interior bilinear blend."""
+    tex = jnp.asarray(np.array(
+        [[[1, 0, 0], [0, 1, 0]],
+         [[0, 0, 1], [1, 1, 1]]], np.float32))  # 2x2 texture
+    # v up: uv (0,1) = image row 0 col 0 = red; (1,0) = row 1 col 1 = white
+    uv = jnp.asarray([[0.0, 1.0], [1.0, 1.0], [0.0, 0.0], [1.0, 0.0],
+                      [0.5, 0.5]], jnp.float32)
+    out = np.asarray(geo.sample_texture(tex, uv))
+    np.testing.assert_allclose(out[0], [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(out[1], [0, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(out[2], [0, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(out[3], [1, 1, 1], atol=1e-6)
+    np.testing.assert_allclose(out[4], [0.5, 0.5, 0.5], atol=1e-6)
+
+
+def test_map_kd_textured_mesh():
+    """A map_kd-textured quad shades with the texture's diffuse color
+    (reference ObjMaterial.map_kd, ovr/scene.h:279, resolved at
+    ovr/devices/ospray/device_impl.cpp:274-295)."""
+    verts = [[0.0, 0.0, 0.5], [1.0, 0.0, 0.5], [1.0, 1.0, 0.5],
+             [0.0, 1.0, 0.5]]
+    faces = [[0, 1, 2], [0, 2, 3]]
+    uvs = [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]
+    # left half red, right half green, constant along v
+    tex = np.zeros((8, 8, 3), np.float32)
+    tex[:, :4, 0] = 1.0
+    tex[:, 4:, 1] = 1.0
+    mesh = TriangleMesh.create(verts, faces, uvs=uvs)
+    mat = Material.create(kd=(1.0, 1.0, 1.0), map_kd=tex)
+    inst = GeometryInstance.create(mesh, mat)
+    scene = simple_scene(np.zeros((4, 4, 4), np.float32))
+    scene = dataclasses.replace(scene, geometries=(inst,))
+    org = jnp.asarray([[0.2, 0.5, 0.0], [0.8, 0.5, 0.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]] * 2, jnp.float32)
+    rgb, a, t = geo.render_geometries(scene, org, d)
+    rgb = np.asarray(rgb)
+    assert rgb[0, 0] > 4 * max(rgb[0, 1], 1e-6)  # left ray: red dominates
+    assert rgb[1, 1] > 4 * max(rgb[1, 0], 1e-6)  # right ray: green
+
+
+def test_usda_mesh_with_map_kd(tmp_path):
+    """USDA subset: Mesh prims with texcoords + a map_kd texture load into
+    scene.geometries."""
+    import shutil
+    np.save(tmp_path / "tex.npy",
+            np.full((4, 4, 3), 0.25, np.float32))
+    shutil.copy("tests/fixtures/scene_tiny.json", tmp_path / "scene.json")
+    shutil.copy("tests/fixtures/tiny_vorts.raw", tmp_path / "tiny_vorts.raw")
+    usda = '''#usda 1.0
+def "scene" {
+    def "volume" {
+        string data_path = "scene.json"
+    }
+    def Mesh "quad" {
+        point3f[] points = [(0,0,0.5), (1,0,0.5), (1,1,0.5), (0,1,0.5)]
+        int[] faceVertexIndices = [0,1,2, 0,2,3]
+        texCoord2f[] primvars:st = [(0,0), (1,0), (1,1), (0,1)]
+        color3f diffuseColor = (0.9, 0.8, 0.7)
+        float opacity = 0.5
+        string map_kd = "tex.npy"
+    }
+}
+'''
+    (tmp_path / "scene.usda").write_text(usda)
+    from ovr_tpu.io.usda import create_scene_usda
+    scene, settings = create_scene_usda(str(tmp_path / "scene.usda"))
+    assert len(scene.geometries) == 1
+    inst = scene.geometries[0]
+    assert inst.material.map_kd is not None
+    assert inst.material.map_kd.shape == (4, 4, 3)
+    np.testing.assert_allclose(np.asarray(inst.material.kd),
+                               [0.9, 0.8, 0.7], atol=1e-6)
+    assert float(inst.material.d) == 0.5
+    assert inst.geometry.uvs.shape == (4, 2)

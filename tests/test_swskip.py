@@ -56,14 +56,17 @@ def _cfg(scene, shading, **kw):
                             **kw).resolved(scene)
 
 
+@pytest.mark.parametrize("persist", [True, False])
 @pytest.mark.parametrize("shading", ["none", "diffuse", "shadow"])
-def test_macrocell_skip_parity(shading):
+def test_macrocell_skip_parity(shading, persist):
     """Skipped kernel == unskipped kernel on a mostly-empty volume (the
-    majorant bound makes skipping exact)."""
+    majorant bound makes skipping exact). Runs both the persistent
+    manual-DMA kernel (default) and the BlockSpec-pipelined legacy
+    kernel."""
     scene = _sparse_scene()
     mc = accel.build_macrocells(scene.volume.grid, scene.tfn.alpha,
                                 scene.tfn.value_range)
-    cfg = _cfg(scene, shading, sw_term=False)
+    cfg = _cfg(scene, shading, sw_term=False, sw_persist=persist)
     ref = api.render(scene, cfg)
     out = api.render(scene, cfg, macrocells=mc)
     np.testing.assert_allclose(np.asarray(out.rgba), np.asarray(ref.rgba),
