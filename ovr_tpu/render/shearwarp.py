@@ -90,7 +90,11 @@ class SwStatic:
     pallas: bool = False
     r_tile: int = 256  # fan rows per kernel grid tile
     # static source-row window per (tile, slice) the kernel reads; 0 = all
-    # rows. Sized host-side from the worst-case fan-row -> voxel-row slope.
+    # rows. Sized host-side from the worst-case fan-row -> voxel-row slope
+    # (resolve_static: >= 1.25 * b_max * r_tile + 3 * sub). INVARIANT: the
+    # persistent kernel streams EXACTLY win_r rows, so a manual override
+    # must still bound the tile's span — the legacy block-pair path
+    # happens to tolerate half that (it streams two win_r-row blocks).
     win_r: int = 0
     # static voxel-column window per (slice, column chunk) the kernel
     # CONTRACTS (the DMA already row-windows); 0 = full Nc. Cuts the
