@@ -176,12 +176,54 @@ def _up(x):
     return x.astype(jnp.float32)
 
 
+def _axis_rng(o, d, lo, ext):
+    """Per-axis slab-test entry/exit parameters (ray o + t*d vs
+    [lo, lo+ext]); the degenerate-direction convention matches
+    `core.sampling.intersect_box`."""
+    small = jnp.abs(d) < 1e-12
+    dd = jnp.where(small, 1.0, d)
+    a = (lo - o) / dd
+    b = (lo + ext - o) / dd
+    lo_t = jnp.where(small, jnp.where(o >= lo, -3.4e38, 3.4e38),
+                     jnp.minimum(a, b))
+    hi_t = jnp.where(small, jnp.where(o <= lo + ext, 3.4e38, -3.4e38),
+                     jnp.maximum(a, b))
+    return lo_t, hi_t
+
+
+def _tile_geometry(sc, pg_ref, qg_ref, geom, r_tile, wi_p, col_chunk):
+    """Precompute the tile's SLICE-INDEPENDENT per-pixel ray geometry
+    into geom (2, R, Wi): [l_in (clip-box entry, clamped >= 0), exit_t
+    (clip-box exit)] — the inline slab test the column loop otherwise
+    rebuilt every (slice, chunk). `speed` stays a cheap per-chunk
+    recompute (one sqrt); a third plane pushed the shadow kernel 140 KB
+    over the 16 MB VMEM limit at the 1024 scale."""
+    ortho = sc(S_ORTHO) > 0.5
+    pg = pg_ref[0, :]
+    qg = qg_ref[:, 0]
+    d2 = jnp.where(ortho, sc(S_DW2), qg)
+    o2 = jnp.where(ortho, qg, sc(S_EW2))
+    l2, h2 = _axis_rng(o2, d2, sc(S_CLO2), sc(S_CEX2))  # (R,)
+    la = sc(S_CLA)
+    ha = sc(S_CHA)
+    for w in range(wi_p // col_chunk):
+        cs = slice(w * col_chunk, (w + 1) * col_chunk)
+        pgc = pg[cs]
+        d1 = jnp.where(ortho, sc(S_DW1), pgc)
+        o1 = jnp.where(ortho, pgc, sc(S_EW1))
+        l1, h1 = _axis_rng(o1, d1, sc(S_CLO1), sc(S_CEX1))  # (CC,)
+        geom[0, :, cs] = jnp.maximum(
+            jnp.maximum(jnp.maximum(l1[None, :], l2[:, None]), la), 0.0)
+        geom[1, :, cs] = jnp.minimum(
+            jnp.minimum(h1[None, :], h2[:, None]), ha)
+
+
 def _slice_body(js, j_pos, t, sc, make_dots, n_w, row_base, light_pk,
                 light_pk1, pg_ref, qg_ref, tab_ref, out_ref, prev_s,
                 t1_scr, smp_scr, g1_scr, c0_ref, *, n_r, n_c, n_orig,
                 n_chunks, r_tile, wi_p, wi_i, mode, l_r, l_c, bf16,
                 col_chunk, n_extra, win_c, term, fd, n_cb=None, l_cb=None,
-                cw_lane=0):
+                cw_lane=0, geom=None):
     """Resample, classify, shade and composite ONE slice plane into
     out_ref (8, R, Wi) — the VMEM compositing accumulator, rows
     [c_r, c_g, c_b, g_x, g_y, g_z, depth, trans]. Shared by the
@@ -284,23 +326,12 @@ def _slice_body(js, j_pos, t, sc, make_dots, n_w, row_base, light_pk,
                            l_r - 1.0)
             lt = _dot(_interp_w(lvr, l_r), lplane, bf16)  # (R, Lc)
 
-        def axis_rng(o, d, lo, ext):
-            small = jnp.abs(d) < 1e-12
-            dd = jnp.where(small, 1.0, d)
-            a = (lo - o) / dd
-            b = (lo + ext - o) / dd
-            lo_t = jnp.where(small, jnp.where(o >= lo, -3.4e38, 3.4e38),
-                             jnp.minimum(a, b))
-            hi_t = jnp.where(small,
-                             jnp.where(o <= lo + ext, 3.4e38, -3.4e38),
-                             jnp.maximum(a, b))
-            return lo_t, hi_t
-
-        d2 = jnp.where(ortho, sc(S_DW2), qg)
-        o2 = jnp.where(ortho, qg, sc(S_EW2))
-        l2, h2 = axis_rng(o2, d2, sc(S_CLO2), sc(S_CEX2))  # (R,)
-        la = sc(S_CLA)
-        ha = sc(S_CHA)
+        if geom is None:
+            d2 = jnp.where(ortho, sc(S_DW2), qg)
+            o2 = jnp.where(ortho, qg, sc(S_EW2))
+            l2, h2 = _axis_rng(o2, d2, sc(S_CLO2), sc(S_CEX2))  # (R,)
+            la = sc(S_CLA)
+            ha = sc(S_CHA)
 
         if fd_on:
             # pass A: resample the whole (halo-extended) fan plane into
@@ -385,18 +416,29 @@ def _slice_body(js, j_pos, t, sc, make_dots, n_w, row_base, light_pk,
                 smp = _dot(t1, _interp_w(vc, n_cb), bf16,
                            trans_b=True)  # (R, CC)
 
-            # exact per-pixel plane/ray interval overlap (inline slab test)
-            d1 = jnp.where(ortho, sc(S_DW1), pgc)
-            o1 = jnp.where(ortho, pgc, sc(S_EW1))
-            l1, h1 = axis_rng(o1, d1, sc(S_CLO1), sc(S_CEX1))  # (128,)
-            l_in = jnp.maximum(
-                jnp.maximum(jnp.maximum(l1[None, :], l2[:, None]), la), 0.0)
-            exit_t = jnp.minimum(jnp.minimum(h1[None, :], h2[:, None]), ha)
-            l_out = jnp.maximum(exit_t, l_in)
+            # exact per-pixel plane/ray interval overlap (inline slab
+            # test). The quantities are SLICE-INDEPENDENT: the persistent
+            # kernel precomputes them once per tile (`_tile_geometry`)
+            # instead of per (slice, chunk) — they were ~half the
+            # per-chunk VPU chain
             pp = jnp.broadcast_to(pgc[None, :], (r_tile, col_chunk))
             qq = jnp.broadcast_to(qg[:, None], (r_tile, col_chunk))
-            speed = jnp.where(ortho, 1.0,
-                              jnp.sqrt(pp * pp + qq * qq + 1.0))
+            if geom is None:
+                d1 = jnp.where(ortho, sc(S_DW1), pgc)
+                o1 = jnp.where(ortho, pgc, sc(S_EW1))
+                l1, h1 = _axis_rng(o1, d1, sc(S_CLO1), sc(S_CEX1))
+                l_in = jnp.maximum(jnp.maximum(
+                    jnp.maximum(l1[None, :], l2[:, None]), la), 0.0)
+                exit_t = jnp.minimum(
+                    jnp.minimum(h1[None, :], h2[:, None]), ha)
+                speed = jnp.where(ortho, 1.0,
+                                  jnp.sqrt(pp * pp + qq * qq + 1.0))
+            else:
+                l_in = geom[0, :, cs]
+                exit_t = geom[1, :, cs]
+                speed = jnp.where(ortho, 1.0,
+                                  jnp.sqrt(pp * pp + qq * qq + 1.0))
+            l_out = jnp.maximum(exit_t, l_in)
             seg_lo = jnp.maximum(lam - sc(S_HALF), l_in)
             seg_hi = jnp.minimum(lam + sc(S_HALF), l_out)
             dt_w = jnp.maximum(seg_hi - seg_lo, 0.0) * speed
@@ -617,8 +659,8 @@ def _kernel(k0_ref, k0l_ref, w0_ref, wb_ref, c0_ref, jf_ref, na_ref,
 
 def _kernel_persist(k0_ref, k0l_ref, w0_ref, jf_ref, na_ref, c0l_ref,
                     vol_hbm, lg_hbm, pg_ref, qg_ref, tab_ref, sc_ref,
-                    out_hbm, acc, prev_s, smp_scr, g1_scr, t1_scr, vbuf,
-                    vsem, lbuf, lsem, osem, *, n_r, n_c, n_cb, n_orig,
+                    out_hbm, acc, prev_s, smp_scr, g1_scr, t1_scr, geom,
+                    vbuf, vsem, lbuf, lsem, osem, *, n_r, n_c, n_cb, n_orig,
                     n_chunks, r_tile, wi_p, wi_i, win, mode, l_a, l_r,
                     l_c, l_cb, bf16, col_chunk, n_extra, sub, term, fd,
                     cw_lane):
@@ -647,6 +689,13 @@ def _kernel_persist(k0_ref, k0l_ref, w0_ref, jf_ref, na_ref, c0l_ref,
 
     def sc(i):
         return sc_ref[0, i]
+
+    # hoisted slab-test geometry: worth ~4% at the 1024 scale, but the
+    # shadow kernel (mode 2) sits 20 KB under the VMEM limit without it —
+    # it keeps the per-chunk recompute instead
+    use_geom = mode != 2
+    if use_geom:
+        _tile_geometry(sc, pg_ref, qg_ref, geom, r_tile, wi_p, col_chunk)
 
     def key_of(j):
         """(slab index, window row) the volume copies of step j read."""
@@ -757,7 +806,7 @@ def _kernel_persist(k0_ref, k0l_ref, w0_ref, jf_ref, na_ref, c0l_ref,
             n_chunks=n_chunks, r_tile=r_tile, wi_p=wi_p, wi_i=wi_i,
             mode=mode, l_r=l_r, l_c=l_c, bf16=bf16, col_chunk=col_chunk,
             n_extra=n_extra, win_c=0, term=term, fd=fd, n_cb=n_cb,
-            l_cb=l_cb, cw_lane=cw_lane)
+            l_cb=l_cb, cw_lane=cw_lane, geom=geom if use_geom else None)
         return (j + 1, any_alive if term else jnp.asarray(True),
                 nslot, go_v, nlslot, go_l)
 
@@ -1109,6 +1158,8 @@ def slice_composite_pallas(grid_v, rgba_tab, scalars, pg, qg, k0,
                            else (8, 8), jnp.float32),  # g1_scr
                 pltpu.VMEM((r_tile + 8, n_cb) if cw_lane else (8, 8),
                            jnp.float32),  # t1_scr (lane-window staging)
+                pltpu.VMEM((2, r_tile, wi_p) if mode != 2 else (1, 8, 128),
+                           jnp.float32),  # geom (slab-test hoisting)
                 pltpu.VMEM((2, 2, win, n_cb), vdt),  # vbuf
                 pltpu.SemaphoreType.DMA((2, 2)),  # vsem
                 pltpu.VMEM((2, 2, l_r, l_cb) if mode == 2
