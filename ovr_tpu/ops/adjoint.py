@@ -90,19 +90,26 @@ def _slab_window(params, n_steps):
     """
     if not isinstance(params, dict) or "jlat" in params:
         return None
-    g = params.get("grid")
-    k0f = params.get("k0f")
-    if g is None or k0f is None or getattr(g, "ndim", 0) != 3:
-        return None
-    if not jnp.issubdtype(g.dtype, jnp.inexact):
-        return None  # integer storage: no tangent space
-    n_a = g.shape[0]
-    # consecutive k0 advance at most ceil(n_a / n_steps) slabs
-    adv = -(-n_a // max(n_steps, 1))
-    w = min(n_a, 2 + adv)
-    if w >= n_a:
-        return None  # window would be the whole grid: no win
-    return w
+    specs = []
+    # (key, per-step slab-index key, reads the PREVIOUS step's slabs too)
+    for key, idxk, lookback in (("grid", "k0f", True),
+                                ("lgrid", "k0lf", False)):
+        g = params.get(key)
+        k0f = params.get(idxk)
+        if g is None or k0f is None or getattr(g, "ndim", 0) != 3:
+            continue
+        if not jnp.issubdtype(g.dtype, jnp.inexact):
+            continue  # integer storage: no tangent space
+        n_a = g.shape[0]
+        # consecutive slab indices advance at most ceil(n_a / n_steps)
+        adv = -(-n_a // max(n_steps, 1))
+        w = min(n_a, 2 + adv)
+        if w >= n_a:
+            continue  # window would be the whole array: no win
+        specs.append((key, idxk, lookback, w))
+    if not any(s[0] == "grid" for s in specs):
+        return None  # the grid is the point; don't fork for lgrid alone
+    return specs
 
 
 def adjoint_sweep(f, n_steps, params, t_final, v_bar, t_bar):
@@ -119,10 +126,10 @@ def adjoint_sweep(f, n_steps, params, t_final, v_bar, t_bar):
     slab indices), the grid cotangent is accumulated slab-locally (see
     `_slab_window`) in float32 and cast to the grid dtype at the end.
     """
-    w_slab = _slab_window(params, n_steps)
-    if w_slab is not None:
+    specs = _slab_window(params, n_steps)
+    if specs is not None:
         return _adjoint_sweep_sliced(f, n_steps, params, t_final, v_bar,
-                                     t_bar, w_slab)
+                                     t_bar, specs)
 
     def step_val(p, k):
         v, a = f(p, k)
@@ -163,64 +170,74 @@ def adjoint_sweep(f, n_steps, params, t_final, v_bar, t_bar):
     return jax.tree_util.tree_unflatten(treedef, out_leaves)
 
 
-def _adjoint_sweep_sliced(f, n_steps, params, t_final, v_bar, t_bar, w):
-    """`adjoint_sweep` with slab-windowed grid-cotangent accumulation.
+def _adjoint_sweep_sliced(f, n_steps, params, t_final, v_bar, t_bar,
+                          specs):
+    """`adjoint_sweep` with slab-windowed cotangent accumulation for the
+    arrays sliced per step by a slab index ("grid" via k0f — including
+    the PREVIOUS step's pair, the shaded axial-FD recompute — and the
+    shadow lattice "lgrid" via k0lf).
 
-    Per reverse step: gather the w-slab window covering the slab pairs
-    read by steps k and k-1 (the shaded step recomputes the previous
-    plane for its axial FD), run the per-step vjp against the WINDOW, and
-    scatter-add only the window's cotangent into the running grid
-    cotangent — O(slab) instead of O(grid) HBM traffic per step. The
-    step function is reused untouched: it receives a params dict whose
-    "grid" is the window and whose "k0f" is shifted into window
+    Per reverse step: gather each array's w-slab window covering the
+    slabs the step reads, run the per-step vjp against the WINDOWS, and
+    scatter-add only the windows' cotangents into the running buffers —
+    O(slab) instead of O(array) HBM traffic per step. The step function
+    is reused untouched: it receives a params dict whose windowed arrays
+    are the windows and whose slab-index vectors are shifted into window
     coordinates (it only reads entries k and k-1 in step k)."""
-    grid = params["grid"]
-    n_a, n_r, n_c = grid.shape
-    k0f = params["k0f"]
-    other = {k: v for k, v in params.items() if k != "grid"}
+    win_keys = [s[0] for s in specs]
+    arrs = [params[k] for k in win_keys]
+    other = {k: v for k, v in params.items() if k not in win_keys}
 
     leaves, treedef = jax.tree_util.tree_flatten(other)
     is_float = [jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact)
                 for x in leaves]
     zero_f = [jnp.zeros_like(x) for x, ok in zip(leaves, is_float) if ok]
-    dgrid0 = jnp.zeros(grid.shape, jnp.float32)
+    dws0 = tuple(jnp.zeros(a.shape, jnp.float32) for a in arrs)
 
     def body(carry, k):
-        trans_next, run, pb_f, dgrid = carry
+        trans_next, run, pb_f, dws = carry
         km = jnp.maximum(k - 1, 0)
-        k0a = k0f[k].astype(jnp.int32)
-        k0b = k0f[km].astype(jnp.int32)
-        kb = jnp.clip(jnp.minimum(k0a, k0b), 0, n_a - w)
-        mini = jax.lax.dynamic_slice(grid, (kb, 0, 0), (w, n_r, n_c))
+        kbs, minis = [], []
+        for (key, idxk, lookback, w), arr in zip(specs, arrs):
+            k0f = params[idxk]
+            k0a = k0f[k].astype(jnp.int32)
+            k0b = k0f[km].astype(jnp.int32) if lookback else k0a
+            kb = jnp.clip(jnp.minimum(k0a, k0b), 0, arr.shape[0] - w)
+            kbs.append(kb)
+            minis.append(jax.lax.dynamic_slice(
+                arr, (kb, 0, 0), (w,) + arr.shape[1:]))
 
-        def step_val(p2, mini_g):
+        def step_val(p2, minis_):
             p = dict(p2)
-            p["grid"] = mini_g
-            p["k0f"] = p2["k0f"] - kb.astype(p2["k0f"].dtype)
+            for (key, idxk, _, _), mini_, kb in zip(specs, minis_, kbs):
+                p[key] = mini_
+                p[idxk] = p2[idxk] - kb.astype(p2[idxk].dtype)
             v, a = f(p, k)
             return v, jnp.clip(a, 0.0, A_MAX)
 
-        (v, a), vjp_f = jax.vjp(step_val, other, mini)
+        (v, a), vjp_f = jax.vjp(step_val, other, tuple(minis))
         one_m = jnp.maximum(1.0 - a, 1e-12)
         trans = trans_next / one_m
         wdot = jnp.sum(v_bar * v, axis=-1)
         a_bar = trans * wdot - (run + t_bar * t_final) / one_m
         v_bar_k = (trans * a)[..., None] * v_bar
-        (o_contrib, m_contrib) = vjp_f((v_bar_k, a_bar))
-        dgrid = jax.lax.dynamic_update_slice(
-            dgrid,
-            jax.lax.dynamic_slice(dgrid, (kb, 0, 0), (w, n_r, n_c))
-            + m_contrib.astype(jnp.float32),
-            (kb, 0, 0))
+        (o_contrib, m_contribs) = vjp_f((v_bar_k, a_bar))
+        dws = tuple(
+            jax.lax.dynamic_update_slice(
+                dw,
+                jax.lax.dynamic_slice(dw, (kb, 0, 0), (s[3],) + dw.shape[1:])
+                + mc.astype(jnp.float32),
+                (kb, 0, 0))
+            for dw, mc, kb, s in zip(dws, m_contribs, kbs, specs))
         c_leaves = jax.tree_util.tree_leaves(o_contrib)
         c_f = [c for c, ok in zip(c_leaves, is_float) if ok]
         pb_f = [b + c for b, c in zip(pb_f, c_f)]
         run = run + trans * a * wdot
-        return (trans, run, pb_f, dgrid), None
+        return (trans, run, pb_f, dws), None
 
     run0 = jnp.zeros(t_final.shape, t_final.dtype)
-    (_, _, pb_f, dgrid), _ = jax.lax.scan(
-        body, (t_final, run0, zero_f, dgrid0),
+    (_, _, pb_f, dws), _ = jax.lax.scan(
+        body, (t_final, run0, zero_f, dws0),
         jnp.arange(n_steps - 1, -1, -1))
     import numpy as np
     it = iter(pb_f)
@@ -229,7 +246,8 @@ def _adjoint_sweep_sliced(f, n_steps, params, t_final, v_bar, t_bar, w):
         for x, ok in zip(leaves, is_float)]
     out = jax.tree_util.tree_unflatten(treedef, out_leaves)
     out = dict(out)
-    out["grid"] = dgrid.astype(grid.dtype)
+    for key, dw, arr in zip(win_keys, dws, arrs):
+        out[key] = dw.astype(arr.dtype)
     return out
 
 
