@@ -275,6 +275,24 @@ def test_fd_gradient_backward_consistent():
     assert float(np.abs(np.asarray(g_x)).max()) > 0.05  # scale sanity
 
 
+def test_interior_eye_with_macrocells_parity():
+    """Interior (fly-through) eye + macrocell slice-skipping: the trimmed
+    plane schedule (slice0_static) and the compacted active-slice
+    schedules must agree — skipped == unskipped on the sparse scene."""
+    scene = _sparse_scene()
+    cam = Camera.create(from_=(0.45, 0.4, 0.25), at=(0.7, 0.3, 0.9),
+                        fovy=40.0)
+    scene = dataclasses.replace(scene, camera=cam)
+    mc = accel.build_macrocells(scene.volume.grid, scene.tfn.alpha,
+                                scene.tfn.value_range)
+    cfg = _cfg(scene, "diffuse", sw_term=False)
+    assert cfg.sw is not None and cfg.sw.slice0_static > 0
+    ref = api.render(scene, cfg)
+    out = api.render(scene, cfg, macrocells=mc)
+    np.testing.assert_allclose(np.asarray(out.rgba), np.asarray(ref.rgba),
+                               atol=2e-5)
+
+
 def test_native_int_shadow_lattice():
     """Shadow shading with a native u8 grid: the swept light-grid builder
     must apply the normalized-integer storage scale before classifying
